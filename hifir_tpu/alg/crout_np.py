@@ -1,0 +1,310 @@
+"""Deferred Crout incomplete LDU — host reference kernel (numpy).
+
+This is the correctness anchor for one level of the HIF factorization,
+behaviorally matching the reference hot loop
+(``/root/reference/src/hif/alg/factor.hpp:803-1004`` with the Crout kernels in
+``alg/Crout.hpp``): inverse-based condition estimation (kappa recurrence),
+dynamic deferral of bad pivots to the tail, dual dropping (inverse-threshold +
+scalability-oriented top-k), and the trailing diagonal update.
+
+The data-structure design is deliberately different from the reference: instead
+of augmented linked lists with lazy index rotation (``ds/AugmentedStorage.hpp``)
+we factor in a *stable id space* — ids are positions in the post-preprocessing
+ordering and never move; deferral only affects the final ordering, computed at
+the end.  Dual adjacency (``rows_of_L``/``cols_of_U``) provides the cross-major
+traversals that the reference gets from linked lists.  The production C++
+kernel in ``hifir_tpu/native`` mirrors this design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List
+
+import numpy as np
+
+from ..ds.csr import CSR
+from ..options import Options, determine_fac_pars
+
+__all__ = ["crout_level_np", "CroutResult"]
+
+_PENDING, _ACCEPTED, _DEFERRED = 0, 1, 2
+
+
+@dataclasses.dataclass
+class CroutResult:
+    """Raw per-level factorization output in final-position index space."""
+
+    m: int                        # final leading block size
+    n: int
+    L_B: CSR                      # strictly-lower m x m CSR (unit diag implied)
+    d: np.ndarray                 # diagonal, length m
+    U_B: CSR                      # strictly-upper m x m CSR
+    L_E: CSR                      # (n-m) x m tail rows of L
+    U_F: CSR                      # m x (n-m) tail columns of U
+    ord_final: np.ndarray         # final ordering: position -> id
+    defers: int
+    diag_defers: int
+    cond_defers: int
+    space_drops: int
+    total_drops: int
+    kappa_u: np.ndarray
+    kappa_l: np.ndarray
+
+
+def _drop(ids: np.ndarray, vals: np.ndarray, tau: float, kap: float,
+          alpha: float, nnz_ref: int):
+    """Dual dropping (ref ``alg/thresholds.hpp:49,72``).
+
+    Numerical: drop ``|v| <= tau / kap`` (inverse-based).  Space: keep the
+    ``ceil(alpha * nnz_ref)`` largest magnitudes.  Returns kept (ids, vals,
+    n_num_dropped, n_space_dropped).
+    """
+    n0 = ids.size
+    if tau > 0.0 and kap > 0.0:
+        keep = np.abs(vals) > tau / kap
+        ids, vals = ids[keep], vals[keep]
+    n_num = n0 - ids.size
+    n_space = 0
+    if alpha > 0.0:
+        cap = int(math.ceil(alpha * nnz_ref))
+        if cap < 1:
+            cap = 1
+        if ids.size > cap:
+            sel = np.argpartition(np.abs(vals), ids.size - cap)[ids.size - cap:]
+            n_space = ids.size - cap
+            ids, vals = ids[sel], vals[sel]
+    return ids, vals, n_num, n_space
+
+
+def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
+                   opts: Options, row_ref: np.ndarray, col_ref: np.ndarray
+                   ) -> CroutResult:
+    """Factorize the leading block of a permuted/scaled level matrix.
+
+    Parameters
+    ----------
+    Ahat:
+        Permuted scaled level matrix ``(diag(s) A diag(t))[p, q]`` indexed by
+        ids (positions in the post-preprocessing ordering).
+    d0:
+        Initial diagonal ``Ahat[i, i]`` for ids ``i < m2`` (ref
+        ``extract_perm_diag``, factor.hpp:130).
+    m2:
+        Leading block size after static deferral.
+    row_ref / col_ref:
+        Per-id nnz references for space dropping: ``row_sizes[p[id]]`` and
+        ``col_sizes[q[id]]`` in reference terms (ref factor.hpp:939,956).
+    """
+    n = Ahat.nrows
+    dtype = Ahat.data.dtype
+    kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = determine_fac_pars(
+        opts, level)
+
+    Acsc = Ahat.tocsc()
+
+    d = np.array(d0, copy=True)
+    status = np.zeros(n, dtype=np.int8)
+    # dual adjacency: rows_of_L[id] = [(step j, L[id, j])], cols_of_U likewise
+    rows_of_L_j: List[List[int]] = [[] for _ in range(n)]
+    rows_of_L_v: List[List[complex]] = [[] for _ in range(n)]
+    cols_of_U_j: List[List[int]] = [[] for _ in range(n)]
+    cols_of_U_v: List[List[complex]] = [[] for _ in range(n)]
+    # accepted columns of L / rows of U, by step
+    L_ids: List[np.ndarray] = []
+    L_vals: List[np.ndarray] = []
+    U_ids: List[np.ndarray] = []
+    U_vals: List[np.ndarray] = []
+    dvec: List[complex] = []
+    kappa_u: List[complex] = []
+    kappa_l: List[complex] = []
+    deferred: List[int] = []
+
+    diag_defers = cond_defers = 0
+    space_drops = total_drops = 0
+
+    # dense scatter workspaces (analog of SparseVector dense tags,
+    # ds/SparseVec.hpp:247); one pair per vector
+    buf_u = np.zeros(n, dtype=dtype)
+    tag_u = np.full(n, -1, dtype=np.int64)
+    buf_l = np.zeros(n, dtype=dtype)
+    tag_l = np.full(n, -1, dtype=np.int64)
+
+    def _kappa_new(adj_j, adj_v, kap_prev, idv):
+        """Incremental inverse-norm estimate (ref ``Crout.hpp:486-516``)."""
+        sm = 0.0
+        for jj, vv in zip(adj_j[idv], adj_v[idv]):
+            sm += kap_prev[jj] * vv
+        k1 = 1.0 - sm
+        k2 = -1.0 - sm
+        return k2 if abs(k1) < abs(k2) else k1
+
+    step = 0
+    for idk in range(m2):
+        # --- pivot admissibility (ref factor.hpp:806-871) ---
+        dk = d[idk]
+        if dk == 0 or abs(1.0 / dk) > kappa_d:
+            diag_defers += 1
+            status[idk] = _DEFERRED
+            deferred.append(idk)
+            continue
+        if step:
+            ku = _kappa_new(cols_of_U_j, cols_of_U_v, kappa_u, idk)
+            kl = _kappa_new(rows_of_L_j, rows_of_L_v, kappa_l, idk)
+        else:
+            ku = kl = 1.0
+        if abs(ku) > kappa or abs(kl) > kappa:
+            cond_defers += 1
+            status[idk] = _DEFERRED
+            deferred.append(idk)
+            continue
+
+        # --- accepted: compute ut = Ahat[idk, rest] - L[idk,:] D U[:, rest]
+        # (ref Crout.hpp:169) ---
+        ut_list: List[int] = []
+        s_, e_ = Ahat.indptr[idk], Ahat.indptr[idk + 1]
+        for c, v in zip(Ahat.indices[s_:e_], Ahat.data[s_:e_]):
+            c = int(c)
+            if status[c] != _ACCEPTED and c != idk:
+                buf_u[c] = v
+                tag_u[c] = step
+                ut_list.append(c)
+        for j, lkj in zip(rows_of_L_j[idk], rows_of_L_v[idk]):
+            ld = lkj * dvec[j]
+            for c, uv in zip(U_ids[j], U_vals[j]):
+                c = int(c)
+                if status[c] == _ACCEPTED or c == idk:
+                    continue
+                if tag_u[c] != step:
+                    buf_u[c] = -ld * uv
+                    tag_u[c] = step
+                    ut_list.append(c)
+                else:
+                    buf_u[c] -= ld * uv
+
+        # --- compute l = Ahat[rest, idk] - L[rest,:] D U[:, idk]
+        # (ref Crout.hpp:271) ---
+        l_list: List[int] = []
+        s_, e_ = Acsc.indptr[idk], Acsc.indptr[idk + 1]
+        for r, v in zip(Acsc.indices[s_:e_], Acsc.data[s_:e_]):
+            r = int(r)
+            if status[r] != _ACCEPTED and r != idk:
+                buf_l[r] = v
+                tag_l[r] = step
+                l_list.append(r)
+        for j, ujk in zip(cols_of_U_j[idk], cols_of_U_v[idk]):
+            du = dvec[j] * ujk
+            for r, lv in zip(L_ids[j], L_vals[j]):
+                r = int(r)
+                if status[r] == _ACCEPTED or r == idk:
+                    continue
+                if tag_l[r] != step:
+                    buf_l[r] = -du * lv
+                    tag_l[r] = step
+                    l_list.append(r)
+                else:
+                    buf_l[r] -= du * lv
+
+        # --- diagonal scaling + trailing diag update (ref Crout.hpp:646,542,
+        # order per factor.hpp:906-931: scale ut, update diag, scale l) ---
+        for c in ut_list:
+            buf_u[c] /= dk
+        # d[c] -= ut_scaled[c] * l_unscaled[c] for pending ids in the block
+        if len(ut_list) <= len(l_list):
+            it, other_tag = ut_list, tag_l
+        else:
+            it, other_tag = l_list, tag_u
+        for c in it:
+            if c < m2 and status[c] == _PENDING and other_tag[c] == step:
+                d[c] -= buf_u[c] * buf_l[c]
+        for r in l_list:
+            buf_l[r] /= dk
+
+        # --- dropping (ref factor.hpp:936-996) ---
+        ut_ids = np.array(ut_list, dtype=np.int64)
+        ut_vals = buf_u[ut_ids] if ut_ids.size else np.empty(0, dtype=dtype)
+        ut_ids, ut_vals, nn, ns = _drop(ut_ids, ut_vals, tau_U,
+                                        abs(ku) * kappa_d, alpha_U,
+                                        int(row_ref[idk]))
+        total_drops += nn + ns
+        space_drops += ns
+
+        l_ids = np.array(l_list, dtype=np.int64)
+        l_vals = buf_l[l_ids] if l_ids.size else np.empty(0, dtype=dtype)
+        l_ids, l_vals, nn, ns = _drop(l_ids, l_vals, tau_L,
+                                      abs(kl) * kappa_d, alpha_L,
+                                      int(col_ref[idk]))
+        total_drops += nn + ns
+        space_drops += ns
+
+        # --- store and update adjacency ---
+        U_ids.append(ut_ids)
+        U_vals.append(ut_vals)
+        for c, v in zip(ut_ids, ut_vals):
+            cols_of_U_j[c].append(step)
+            cols_of_U_v[c].append(v)
+        L_ids.append(l_ids)
+        L_vals.append(l_vals)
+        for r, v in zip(l_ids, l_vals):
+            rows_of_L_j[r].append(step)
+            rows_of_L_v[r].append(v)
+        dvec.append(dk)
+        kappa_u.append(ku)
+        kappa_l.append(kl)
+        status[idk] = _ACCEPTED
+        step += 1
+
+    m = step
+    # final ordering: accepted ids in acceptance order, then the static tail,
+    # then dynamically deferred ids in deferral order (ref compress_tails +
+    # the post-loop gap compression, factor.hpp:1007-1027)
+    acc_ids = np.flatnonzero(status == _ACCEPTED)
+    # acceptance order == id order for accepted (we sweep ids in order)
+    ord_final = np.concatenate([
+        acc_ids,
+        np.arange(m2, n, dtype=np.int64),
+        np.array(deferred, dtype=np.int64),
+    ])
+    pos = np.empty(n, dtype=np.int64)
+    pos[ord_final] = np.arange(n)
+
+    # assemble L (n x m) and U (m x n) in final positions, then split
+    def _assemble(ids_list, vals_list, primary_is_col: bool):
+        rows, cols, vals = [], [], []
+        for j, (ids, vv) in enumerate(zip(ids_list, vals_list)):
+            if ids.size == 0:
+                continue
+            pp = pos[ids]
+            if primary_is_col:
+                rows.append(pp)
+                cols.append(np.full(pp.size, j, dtype=np.int64))
+            else:
+                rows.append(np.full(pp.size, j, dtype=np.int64))
+                cols.append(pp)
+            vals.append(vv)
+        if rows:
+            return (np.concatenate(rows), np.concatenate(cols),
+                    np.concatenate(vals))
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=dtype))
+
+    lr, lc, lv = _assemble(L_ids, L_vals, primary_is_col=True)
+    ur, uc, uv = _assemble(U_ids, U_vals, primary_is_col=False)
+
+    in_B = lr < m
+    L_B = CSR.from_coo(m, m, lr[in_B], lc[in_B], lv[in_B])
+    L_E = CSR.from_coo(n - m, m, lr[~in_B] - m, lc[~in_B], lv[~in_B])
+    in_B = uc < m
+    U_B = CSR.from_coo(m, m, ur[in_B], uc[in_B], uv[in_B])
+    U_F = CSR.from_coo(m, n - m, ur[~in_B], uc[~in_B] - m, uv[~in_B])
+
+    return CroutResult(
+        m=m, n=n, L_B=L_B, d=np.array(dvec, dtype=dtype), U_B=U_B,
+        L_E=L_E, U_F=U_F, ord_final=ord_final,
+        defers=len(deferred), diag_defers=diag_defers,
+        cond_defers=cond_defers, space_drops=space_drops,
+        total_drops=total_drops,
+        kappa_u=np.array(kappa_u, dtype=dtype),
+        kappa_l=np.array(kappa_l, dtype=dtype),
+    )

@@ -1,0 +1,184 @@
+"""User-facing HIF preconditioner API.
+
+Behavioral equivalent of the reference ``hif::HIF`` class
+(``/root/reference/src/hif/builder.hpp:109-601``): ``factorize`` builds the
+multilevel preconditioner; ``solve``/``solve_mrhs`` apply M^{-1};
+``hifir`` wraps the solve in iterative refinement; ``mmultiply`` applies the
+forward operator M; plus statistics and size accessors.
+
+TPU architecture: factorization is host-orchestrated (serial Crout semantics)
+with native C++ kernels when built; the preconditioner is exportable as a
+device pytree (:mod:`hifir_tpu.alg.prec`) whose application is a single jitted
+function driving FGMRES/GMRES on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .alg.factor import LevelPrec, level_factorize
+from .alg.iter_refine import iter_refine
+from .alg.prec_solve_np import prec_prod_np, prec_solve_np
+from .ds.csr import CSR
+from .options import Options, get_default_options
+from .small_scale.dense import SYEIG, make_dense_solver
+from .utils.log import hif_error, hif_info
+from .utils.timer import Timer
+
+__all__ = ["HIF"]
+
+
+class HIF:
+    """Hybrid incomplete factorization with iterative refinement."""
+
+    def __init__(self):
+        self.precs: List[LevelPrec] = []
+        self.stats_ = np.zeros(6, dtype=np.int64)
+        self.nsp = None        # null-space filter (NspFilter)
+        self.nsp_tran = None   # left null-space filter
+        self._nrows = 0
+        self._ncols = 0
+        self._device_prec = None
+
+    # -- state accessors (ref builder.hpp:141-234) --------------------------
+    def empty(self) -> bool:
+        return not self.precs
+
+    def levels(self) -> int:
+        """Level count; the dense tail counts as one level
+        (ref builder.hpp:141-147)."""
+        if not self.precs:
+            return 0
+        return len(self.precs) + (self.precs[-1].dense_solver is not None)
+
+    def nnz(self) -> int:
+        return sum(p.nnz() for p in self.precs)
+
+    def nnz_ef(self) -> int:
+        return sum(p.nnz_ef() for p in self.precs)
+
+    def nnz_ldu(self) -> int:
+        return sum(p.nnz_ldu() for p in self.precs)
+
+    def rank(self) -> int:
+        """Numerical rank: accepted block sizes + dense tail rank."""
+        r = sum(p.m for p in self.precs)
+        last = self.precs[-1] if self.precs else None
+        if last is not None and last.dense_solver is not None:
+            r += last.dense_solver.rank
+        return r
+
+    def schur_rank(self) -> int:
+        last = self.precs[-1] if self.precs else None
+        if last is None or last.dense_solver is None:
+            return 0
+        return last.dense_solver.rank
+
+    def schur_size(self) -> int:
+        last = self.precs[-1] if self.precs else None
+        if last is None:
+            return 0
+        return last.n - last.m
+
+    def stats(self, entry: int) -> int:
+        """Deferral/dropping counters (ref builder.hpp:204-234)."""
+        return int(self.stats_[entry])
+
+    def clear(self) -> None:
+        self.precs = []
+        self._device_prec = None
+        self.stats_[:] = 0
+
+    # -- factorization ------------------------------------------------------
+    def factorize(self, A: Union[CSR, "object"], params: Optional[Options] = None,
+                  m0: int = 0) -> "HIF":
+        """Build the multilevel preconditioner (ref builder.hpp:264-399)."""
+        opts = params if params is not None else get_default_options()
+        if not isinstance(A, CSR):
+            A = CSR.from_scipy(A)
+        if opts.check:
+            A.check_validity()
+        if A.nrows != A.ncols:
+            hif_error("only square systems are supported")
+        self.clear()
+        self._nrows, self._ncols = A.nrows, A.ncols
+
+        t = Timer().start()
+        n_first = A.nrows
+        N = opts.N if opts.N >= 0 else n_first
+        row_sizes = np.empty(0, dtype=np.int64)
+        col_sizes = np.empty(0, dtype=np.int64)
+        S: Optional[CSR] = A
+        level = 1
+        input_nnz = A.nnz
+        while S is not None:
+            m_in = S.nrows if (level > 1 or not m0) else m0
+            prec, S, row_sizes, col_sizes = level_factorize(
+                S, m_in if m_in else S.nrows, N, level, opts,
+                row_sizes, col_sizes, self.stats_)
+            self.precs.append(prec)
+            level += 1
+        # factor the dense tail if present (ref factor.hpp:1284-1296)
+        last = self.precs[-1]
+        if last.dense_matrix is not None:
+            symm = bool(opts.is_symm)
+            solver = make_dense_solver(symm, opts.spd)
+            solver.factorize(last.dense_matrix, opts)
+            last.dense_solver = solver
+        t.finish()
+        hif_info(opts, "input nnz(A)=%d, nnz(precs)=%d, ratio=%g, levels=%d, "
+                       "time=%gs", input_nnz, self.nnz(),
+                 self.nnz() / max(input_nnz, 1), self.levels(), t.time())
+        return self
+
+    # -- applications -------------------------------------------------------
+    def solve(self, b: np.ndarray, trans: bool = False, r: int = 0
+              ) -> np.ndarray:
+        """x = M^{-1} b (ref builder.hpp:410-424)."""
+        if self.empty():
+            hif_error("the preconditioner is empty")
+        x = prec_solve_np(self.precs, np.asarray(b), r, trans=trans)
+        if not trans and self.nsp is not None:
+            x = self.nsp.filter(x)
+        elif trans and self.nsp_tran is not None:
+            x = self.nsp_tran.filter(x)
+        return x
+
+    def solve_mrhs(self, B: np.ndarray, r: int = 0) -> np.ndarray:
+        """X = M^{-1} B column-wise (ref builder.hpp:436-448)."""
+        if self.nsp is not None:
+            hif_error("multiple RHS does not support null-space filters")
+        return np.stack([self.solve(B[:, k], r=r) for k in range(B.shape[1])],
+                        axis=1)
+
+    def hifir(self, A, b: np.ndarray, N: int,
+              betas: Optional[Tuple[float, float]] = None,
+              trans: bool = False, r: int = 0):
+        """Apply M^{-1} with N-step iterative refinement
+        (ref builder.hpp:459-505).  With ``betas`` returns ``(x, iters,
+        flag)``; otherwise just x."""
+        x, iters, flag = iter_refine(self, A, b, N, betas, trans, r)
+        if betas is None:
+            return x
+        return x, iters, flag
+
+    def mmultiply(self, x: np.ndarray, trans: bool = False, r: int = 0
+                  ) -> np.ndarray:
+        """y = M x (ref builder.hpp:540-556 -> prec_prod)."""
+        if self.empty():
+            hif_error("the preconditioner is empty")
+        if trans:
+            hif_error("transpose mmultiply is not implemented yet")
+        return prec_prod_np(self.precs, np.asarray(x), r)
+
+    # -- device export ------------------------------------------------------
+    def to_device(self, dtype=None):
+        """Pack the multilevel preconditioner into a jitted device pytree
+        (see :mod:`hifir_tpu.alg.prec`)."""
+        from .alg.prec import DevicePrec
+
+        if self._device_prec is None:
+            self._device_prec = DevicePrec.from_host(self.precs, dtype=dtype)
+        return self._device_prec
