@@ -164,9 +164,31 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     row_ref = row_sizes[p]
     col_ref = col_sizes[q]
 
-    # --- Crout loop ---------------------------------------------------------
-    res: CroutResult = crout_level_np(Ahat, d0, m2, level, opts, row_ref,
-                                      col_ref)
+    # --- Crout loop (native C++ fast path, numpy anchor fallback) -----------
+    a_L, a_U = opts.alpha_L, opts.alpha_U
+    if level == 1 and opts.fat_schur_1st:
+        a_L *= 2
+        a_U *= 2
+    from ..pre import _native
+    from ..options import determine_fac_pars
+
+    use_native = (opts.use_native and _native.has_crout()
+                  and Ahat.data.dtype == np.float64)
+    S_native = None
+    if use_native:
+        pars = determine_fac_pars(opts, level)
+        (m, Ltrip, Utrip, Strip, dvec_n, ordf, nstats) = _native.crout(
+            Ahat, d0, m2, pars, row_ref, col_ref, a_L, a_U)
+        res = CroutResult(
+            m=m, n=n,
+            L_B=CSR(m, m, *Ltrip), d=dvec_n, U_B=CSR(m, m, *Utrip),
+            L_E=None, U_F=None, ord_final=ordf,
+            defers=int(nstats[0]), diag_defers=int(nstats[1]),
+            cond_defers=int(nstats[2]), space_drops=int(nstats[3]),
+            total_drops=int(nstats[4]), kappa_u=None, kappa_l=None)
+        S_native = CSR(n - m, n - m, *Strip)
+    else:
+        res = crout_level_np(Ahat, d0, m2, level, opts, row_ref, col_ref)
     m = res.m
 
     # --- post-flag analysis (ref factor.hpp:1032-1050) ----------------------
@@ -192,16 +214,16 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     if m and post_flag <= 0:
         # permuted-by-final-order view of Ahat
         Ah2 = Ahat_s[ord_final, :][:, ord_final].tocsr()
-        # L_E / U_F dropping (ref factor.hpp:1152-1181)
-        a_L, a_U = opts.alpha_L, opts.alpha_U
-        if level == 1 and opts.fat_schur_1st:
-            a_L *= 2
-            a_U *= 2
-        L_E = _drop_offsets(res.L_E, row_sizes[p_out[m:]], a_L)
-        U_F_t = _drop_offsets(res.U_F.transpose(), col_sizes[q_out[m:]], a_U)
-        U_F = U_F_t.transpose()
-        C_tail = Ah2[m:, :][:, m:].tocsr()
-        S = _compute_schur(C_tail, L_E, res.d, U_F)
+        if S_native is not None:
+            S = S_native
+        else:
+            # L_E / U_F dropping (ref factor.hpp:1152-1181)
+            L_E = _drop_offsets(res.L_E, row_sizes[p_out[m:]], a_L)
+            U_F_t = _drop_offsets(res.U_F.transpose(), col_sizes[q_out[m:]],
+                                  a_U)
+            U_F = U_F_t.transpose()
+            C_tail = Ah2[m:, :][:, m:].tocsr()
+            S = _compute_schur(C_tail, L_E, res.d, U_F)
         E = Ah2[m:, :][:, :m].tocsr()
         F = Ah2[:m, :][:, m:].tocsr()
         E = CSR(n - m, m, E.indptr.astype(np.int64), E.indices, E.data)

@@ -124,10 +124,16 @@ class CSR:
         if self.indices.size:
             if self.indices.min() < 0 or self.indices.max() >= self.ncols:
                 hif_error("column index out of bounds")
-        for i in range(self.nrows):
-            s, e = self.indptr[i], self.indptr[i + 1]
-            if e > s and np.any(np.diff(self.indices[s:e]) <= 0):
-                hif_error("row %d indices not sorted/unique", i)
+            # vectorized within-row sorted/unique check: adjacent pairs must
+            # strictly increase except across row boundaries
+            d = np.diff(self.indices.astype(np.int64))
+            boundary = np.zeros(self.indices.size - 1, dtype=bool) \
+                if self.indices.size > 1 else np.zeros(0, dtype=bool)
+            ends = self.indptr[1:-1]
+            ends = ends[(ends > 0) & (ends < self.indices.size)]
+            boundary[ends - 1] = True
+            if np.any((d <= 0) & ~boundary):
+                hif_error("row indices not sorted/unique")
 
     def todense(self) -> np.ndarray:
         out = np.zeros((self.nrows, self.ncols), dtype=self.data.dtype)
@@ -222,12 +228,13 @@ class CSR:
                             self.indices[keep].astype(np.int64), self.data[keep])
 
     def diagonal(self) -> np.ndarray:
-        d = np.zeros(min(self.nrows, self.ncols), dtype=self.data.dtype)
-        for i in range(d.shape[0]):
-            s, e = self.indptr[i], self.indptr[i + 1]
-            k = np.searchsorted(self.indices[s:e], i)
-            if k < e - s and self.indices[s + k] == i:
-                d[i] = self.data[s + k]
+        nd = min(self.nrows, self.ncols)
+        d = np.zeros(nd, dtype=self.data.dtype)
+        rows = np.repeat(np.arange(self.nrows, dtype=np.int64), self.row_nnz())
+        on_diag = rows == self.indices
+        if nd < self.nrows:
+            on_diag &= rows < nd
+        d[rows[on_diag]] = self.data[on_diag]
         return d
 
     # -- triangular solves (host oracles; device versions in ops/trsv) ------

@@ -1,0 +1,57 @@
+// Shared helpers for the hifir_tpu native host kernels.
+//
+// These kernels are the production counterparts of the Python anchors in
+// hifir_tpu/{pre,alg}; design notes live in the corresponding Python modules.
+// The reference keeps comparable serial algorithms in optimized C++
+// (/root/reference/src/hif/{pre,alg}); this library is a from-scratch
+// implementation around a stable-id factorization design (no linked lists,
+// no index rotation).
+#pragma once
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+using i64 = std::int64_t;
+using i32 = std::int32_t;
+
+#define HT_API extern "C" __attribute__((visibility("default")))
+
+namespace ht {
+
+// growable CSR assembly buffer
+struct CsrBuf {
+  std::vector<i64> indptr{0};
+  std::vector<i32> indices;
+  std::vector<double> vals;
+  i64 ncols = 0;
+
+  void push_row_end() { indptr.push_back((i64)indices.size()); }
+  i64 nnz() const { return (i64)indices.size(); }
+  i64 nrows() const { return (i64)indptr.size() - 1; }
+};
+
+// transpose a CSR (nrows x ncols) into CSC arrays (per-column rows)
+inline void transpose_csr(i64 nrows, i64 ncols, const i64 *indptr,
+                          const i32 *indices, const double *vals,
+                          std::vector<i64> &cptr, std::vector<i32> &crow,
+                          std::vector<double> &cval) {
+  const i64 nnz = indptr[nrows];
+  cptr.assign(ncols + 1, 0);
+  for (i64 k = 0; k < nnz; ++k) ++cptr[indices[k] + 1];
+  for (i64 j = 0; j < ncols; ++j) cptr[j + 1] += cptr[j];
+  crow.resize(nnz);
+  cval.resize(nnz);
+  std::vector<i64> next(cptr.begin(), cptr.end() - 1);
+  for (i64 i = 0; i < nrows; ++i)
+    for (i64 k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const i64 pos = next[indices[k]]++;
+      crow[pos] = (i32)i;
+      cval[pos] = vals[k];
+    }
+}
+
+}  // namespace ht

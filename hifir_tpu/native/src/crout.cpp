@@ -1,0 +1,509 @@
+// Deferred Crout incomplete LDU + Schur complement — production host kernel.
+//
+// Semantics match the annotated Python anchor hifir_tpu/alg/crout_np.py
+// (behavioral target: /root/reference/src/hif/alg/factor.hpp:803-1004,
+// Crout.hpp, thresholds.hpp, Schur.hpp), implemented around the stable-id
+// design: ids never move; dynamic deferral only reorders the final output.
+// Dual adjacency (rows-of-L / cols-of-U) replaces the reference linked lists.
+// The Schur SpGEMM accumulates in long double (the reference boosts precision
+// the same way, Schur.hpp:310-361).
+
+#include "common.hpp"
+
+namespace {
+
+struct Adj {
+  // per-id adjacency (step, value), chunk-free growable
+  std::vector<std::vector<i32>> steps;
+  std::vector<std::vector<double>> vals;
+  explicit Adj(i64 n) : steps(n), vals(n) {}
+  void add(i64 id, i32 step, double v) {
+    steps[id].push_back(step);
+    vals[id].push_back(v);
+  }
+};
+
+struct Result {
+  i64 n = 0, m = 0;
+  // L_B (m x m CSR strict lower), U_B (m x m CSR strict upper), S ((n-m)^2)
+  std::vector<i64> Lp, Up, Sp;
+  std::vector<i32> Li, Ui, Si;
+  std::vector<double> Lv, Uv, Sv;
+  std::vector<double> d;
+  std::vector<i64> ord;      // final ordering: position -> id
+  i64 stats[6] = {0, 0, 0, 0, 0, 0};  // defers, diag, cond, space, total, -
+};
+
+// dual dropping on a scatter-accumulated sparse vector
+// (ref alg/thresholds.hpp:49,72); keeps ids[0..kept) (unsorted)
+inline i64 drop_vec(std::vector<i32> &ids, const double *buf, double tau,
+                    double kap, double alpha, i64 nnz_ref, i64 &n_num,
+                    i64 &n_space) {
+  i64 sz = (i64)ids.size();
+  if (tau > 0.0 && kap > 0.0) {
+    const double coeff = tau / kap;
+    i64 w = 0;
+    for (i64 k = 0; k < sz; ++k)
+      if (std::fabs(buf[ids[k]]) > coeff) ids[w++] = ids[k];
+    n_num += sz - w;
+    sz = w;
+    ids.resize(sz);
+  }
+  if (alpha > 0.0) {
+    i64 cap = (i64)std::ceil(alpha * (double)nnz_ref);
+    if (cap < 1) cap = 1;
+    if (sz > cap) {
+      std::nth_element(ids.begin(), ids.begin() + cap - 1, ids.end(),
+                       [&](i32 a, i32 b) {
+                         return std::fabs(buf[a]) > std::fabs(buf[b]);
+                       });
+      n_space += sz - cap;
+      sz = cap;
+      ids.resize(sz);
+    }
+  }
+  return sz;
+}
+
+}  // namespace
+
+HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                      const double *Av, const double *d0, double kappa_d,
+                      double kappa, double tau_L, double tau_U, double alpha_L,
+                      double alpha_U, const i64 *row_ref, const i64 *col_ref,
+                      double schur_aL, double schur_aU) {
+  auto *res = new Result();
+  res->n = n;
+
+  // CSC of Ahat
+  std::vector<i64> Cp;
+  std::vector<i32> Ci;
+  std::vector<double> Cv;
+  ht::transpose_csr(n, n, Ap, Ai, Av, Cp, Ci, Cv);
+
+  std::vector<double> d(d0, d0 + m2);
+  std::vector<unsigned char> status(n, 0);  // 0 pending 1 accepted 2 deferred
+  Adj rows_of_L(n), cols_of_U(n);
+
+  // factor storage: per accepted step
+  std::vector<i64> Lptr{0}, Uptr{0};
+  std::vector<i32> Lids, Uids;
+  std::vector<double> Lvals, Uvals;
+  std::vector<double> dvec, kap_u, kap_l;
+  std::vector<i64> deferred;
+
+  std::vector<double> buf_u(n, 0.0), buf_l(n, 0.0);
+  std::vector<i64> tag_u(n, -1), tag_l(n, -1);
+  std::vector<i32> ut_ids, l_ids;
+
+  i64 step = 0;
+  for (i64 idk = 0; idk < m2; ++idk) {
+    const double dk = d[idk];
+    if (dk == 0.0 || std::fabs(1.0 / dk) > kappa_d) {
+      ++res->stats[1];
+      status[idk] = 2;
+      deferred.push_back(idk);
+      continue;
+    }
+    double ku = 1.0, kl = 1.0;
+    if (step) {
+      // incremental inverse-norm estimates (ref Crout.hpp:486)
+      double sum = 0.0;
+      {
+        const auto &js = cols_of_U.steps[idk];
+        const auto &vs = cols_of_U.vals[idk];
+        for (size_t k = 0; k < js.size(); ++k) sum += kap_u[js[k]] * vs[k];
+        const double k1 = 1.0 - sum, k2 = -1.0 - sum;
+        ku = std::fabs(k1) < std::fabs(k2) ? k2 : k1;
+      }
+      sum = 0.0;
+      {
+        const auto &js = rows_of_L.steps[idk];
+        const auto &vs = rows_of_L.vals[idk];
+        for (size_t k = 0; k < js.size(); ++k) sum += kap_l[js[k]] * vs[k];
+        const double k1 = 1.0 - sum, k2 = -1.0 - sum;
+        kl = std::fabs(k1) < std::fabs(k2) ? k2 : k1;
+      }
+    }
+    if (std::fabs(ku) > kappa || std::fabs(kl) > kappa) {
+      ++res->stats[2];
+      status[idk] = 2;
+      deferred.push_back(idk);
+      continue;
+    }
+
+    // ---- compute ut (ref Crout.hpp:169) ----
+    ut_ids.clear();
+    for (i64 k = Ap[idk]; k < Ap[idk + 1]; ++k) {
+      const i32 c = Ai[k];
+      if (status[c] != 1 && c != idk) {
+        buf_u[c] = Av[k];
+        tag_u[c] = step;
+        ut_ids.push_back(c);
+      }
+    }
+    {
+      const auto &js = rows_of_L.steps[idk];
+      const auto &vs = rows_of_L.vals[idk];
+      for (size_t kk = 0; kk < js.size(); ++kk) {
+        const i32 j = js[kk];
+        const double ld = vs[kk] * dvec[j];
+        for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
+          const i32 c = Uids[k];
+          if (status[c] == 1 || c == idk) continue;
+          if (tag_u[c] != step) {
+            buf_u[c] = -ld * Uvals[k];
+            tag_u[c] = step;
+            ut_ids.push_back(c);
+          } else
+            buf_u[c] -= ld * Uvals[k];
+        }
+      }
+    }
+
+    // ---- compute l (ref Crout.hpp:271) ----
+    l_ids.clear();
+    for (i64 k = Cp[idk]; k < Cp[idk + 1]; ++k) {
+      const i32 r = Ci[k];
+      if (status[r] != 1 && r != idk) {
+        buf_l[r] = Cv[k];
+        tag_l[r] = step;
+        l_ids.push_back(r);
+      }
+    }
+    {
+      const auto &js = cols_of_U.steps[idk];
+      const auto &vs = cols_of_U.vals[idk];
+      for (size_t kk = 0; kk < js.size(); ++kk) {
+        const i32 j = js[kk];
+        const double du = dvec[j] * vs[kk];
+        for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
+          const i32 r = Lids[k];
+          if (status[r] == 1 || r == idk) continue;
+          if (tag_l[r] != step) {
+            buf_l[r] = -du * Lvals[k];
+            tag_l[r] = step;
+            l_ids.push_back(r);
+          } else
+            buf_l[r] -= du * Lvals[k];
+        }
+      }
+    }
+
+    // ---- scale ut, update trailing diag, scale l (ref factor.hpp:906-931)
+    const double dk_inv = 1.0 / dk;
+    for (i32 c : ut_ids) buf_u[c] *= dk_inv;
+    if (ut_ids.size() <= l_ids.size()) {
+      for (i32 c : ut_ids)
+        if (c < m2 && status[c] == 0 && tag_l[c] == step)
+          d[c] -= buf_u[c] * buf_l[c];
+    } else {
+      for (i32 c : l_ids)
+        if (c < m2 && status[c] == 0 && tag_u[c] == step)
+          d[c] -= buf_u[c] * buf_l[c];
+    }
+    for (i32 r : l_ids) buf_l[r] *= dk_inv;
+
+    // ---- dropping ----
+    i64 nnum = 0, nsp = 0;
+    i64 kept = drop_vec(ut_ids, buf_u.data(), tau_U, std::fabs(ku) * kappa_d,
+                        alpha_U, row_ref[idk], nnum, nsp);
+    for (i64 k = 0; k < kept; ++k) {
+      Uids.push_back(ut_ids[k]);
+      Uvals.push_back(buf_u[ut_ids[k]]);
+      cols_of_U.add(ut_ids[k], (i32)step, buf_u[ut_ids[k]]);
+    }
+    Uptr.push_back((i64)Uids.size());
+
+    kept = drop_vec(l_ids, buf_l.data(), tau_L, std::fabs(kl) * kappa_d,
+                    alpha_L, col_ref[idk], nnum, nsp);
+    for (i64 k = 0; k < kept; ++k) {
+      Lids.push_back(l_ids[k]);
+      Lvals.push_back(buf_l[l_ids[k]]);
+      rows_of_L.add(l_ids[k], (i32)step, buf_l[l_ids[k]]);
+    }
+    Lptr.push_back((i64)Lids.size());
+    res->stats[4] += nnum + nsp;
+    res->stats[3] += nsp;
+
+    dvec.push_back(dk);
+    kap_u.push_back(ku);
+    kap_l.push_back(kl);
+    status[idk] = 1;
+    ++step;
+  }
+  const i64 m = step;
+  res->m = m;
+  res->stats[0] = (i64)deferred.size();
+
+  // ---- final ordering and position map ----
+  res->ord.reserve(n);
+  for (i64 id = 0; id < m2; ++id)
+    if (status[id] == 1) res->ord.push_back(id);
+  for (i64 id = m2; id < n; ++id) res->ord.push_back(id);
+  for (i64 id : deferred) res->ord.push_back(id);
+  std::vector<i64> pos(n);
+  for (i64 k = 0; k < n; ++k) pos[res->ord[k]] = k;
+
+  // ---- split U rows into U_B (CSR, cols < m) and U_F^T rows; L columns into
+  // L_B (transposed to CSR) and L_E rows ----
+  const i64 nm = n - m;
+  // U_B CSR (row per step), U_F as CSC (column j of U -> tail cols)
+  res->Up.assign(m + 1, 0);
+  std::vector<i64> UFp(m + 1, 0);
+  for (i64 j = 0; j < m; ++j) {
+    for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k)
+      if (pos[Uids[k]] < m)
+        ++res->Up[j + 1];
+      else
+        ++UFp[j + 1];
+  }
+  for (i64 j = 0; j < m; ++j) {
+    res->Up[j + 1] += res->Up[j];
+    UFp[j + 1] += UFp[j];
+  }
+  res->Ui.resize(res->Up[m]);
+  res->Uv.resize(res->Up[m]);
+  std::vector<i32> UFi(UFp[m]);
+  std::vector<double> UFv(UFp[m]);
+  {
+    std::vector<i64> nb(res->Up.begin(), res->Up.end() - 1);
+    std::vector<i64> nf(UFp.begin(), UFp.end() - 1);
+    for (i64 j = 0; j < m; ++j)
+      for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
+        const i64 pc = pos[Uids[k]];
+        if (pc < m) {
+          res->Ui[nb[j]] = (i32)pc;
+          res->Uv[nb[j]++] = Uvals[k];
+        } else {
+          UFi[nf[j]] = (i32)(pc - m);
+          UFv[nf[j]++] = Uvals[k];
+        }
+      }
+  }
+  // sort U_B rows by column
+  for (i64 j = 0; j < m; ++j) {
+    const i64 a = res->Up[j], b = res->Up[j + 1];
+    std::vector<i64> idx(b - a);
+    for (i64 k = 0; k < b - a; ++k) idx[k] = k;
+    std::sort(idx.begin(), idx.end(), [&](i64 x, i64 y) {
+      return res->Ui[a + x] < res->Ui[a + y];
+    });
+    std::vector<i32> ti(b - a);
+    std::vector<double> tv(b - a);
+    for (i64 k = 0; k < b - a; ++k) {
+      ti[k] = res->Ui[a + idx[k]];
+      tv[k] = res->Uv[a + idx[k]];
+    }
+    std::copy(ti.begin(), ti.end(), res->Ui.begin() + a);
+    std::copy(tv.begin(), tv.end(), res->Uv.begin() + a);
+  }
+
+  // L columns -> split into L_B (m x m, want CSR) and L_E ((n-m) x m CSR)
+  // first count rows
+  res->Lp.assign(m + 1, 0);
+  std::vector<i64> LEp(nm + 1, 0);
+  for (i64 j = 0; j < m; ++j)
+    for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
+      const i64 pr = pos[Lids[k]];
+      if (pr < m)
+        ++res->Lp[pr + 1];
+      else
+        ++LEp[pr - m + 1];
+    }
+  for (i64 i = 0; i < m; ++i) res->Lp[i + 1] += res->Lp[i];
+  for (i64 i = 0; i < nm; ++i) LEp[i + 1] += LEp[i];
+  res->Li.resize(res->Lp[m]);
+  res->Lv.resize(res->Lp[m]);
+  std::vector<i32> LEi(LEp[nm]);
+  std::vector<double> LEv(LEp[nm]);
+  {
+    std::vector<i64> nb(res->Lp.begin(), res->Lp.end() - 1);
+    std::vector<i64> ne(LEp.begin(), LEp.end() - 1);
+    for (i64 j = 0; j < m; ++j)  // columns in increasing step order => sorted
+      for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
+        const i64 pr = pos[Lids[k]];
+        if (pr < m) {
+          res->Li[nb[pr]] = (i32)j;
+          res->Lv[nb[pr]++] = Lvals[k];
+        } else {
+          LEi[ne[pr - m]] = (i32)j;
+          LEv[ne[pr - m]++] = Lvals[k];
+        }
+      }
+  }
+
+  res->d = dvec;
+
+  // ---- L_E / U_F dropping (ref Schur.hpp:61-190) ----
+  i64 dummy_num = 0, dummy_space = 0;
+  if (nm) {
+    std::vector<i32> keep;
+    // L_E rows: cap ceil(schur_aL * row_ref[ord[m+i]])
+    if (schur_aL > 0.0) {
+      std::vector<i64> newp(nm + 1, 0);
+      std::vector<i32> ni;
+      std::vector<double> nv;
+      ni.reserve(LEi.size());
+      nv.reserve(LEv.size());
+      std::vector<std::pair<double, i32>> tmp;
+      std::vector<double> vbuf;
+      for (i64 i = 0; i < nm; ++i) {
+        const i64 a = LEp[i], b = LEp[i + 1];
+        i64 cap = (i64)std::ceil(schur_aL * (double)row_ref[res->ord[m + i]]);
+        if (cap < 1) cap = 1;
+        if (b - a > cap) {
+          std::vector<i64> idx(b - a);
+          for (i64 k = 0; k < b - a; ++k) idx[k] = a + k;
+          std::nth_element(idx.begin(), idx.begin() + cap - 1, idx.end(),
+                           [&](i64 x, i64 y) {
+                             return std::fabs(LEv[x]) > std::fabs(LEv[y]);
+                           });
+          idx.resize(cap);
+          std::sort(idx.begin(), idx.end(), [&](i64 x, i64 y) {
+            return LEi[x] < LEi[y];
+          });
+          for (i64 x : idx) {
+            ni.push_back(LEi[x]);
+            nv.push_back(LEv[x]);
+          }
+        } else {
+          for (i64 k = a; k < b; ++k) {
+            ni.push_back(LEi[k]);
+            nv.push_back(LEv[k]);
+          }
+        }
+        newp[i + 1] = (i64)ni.size();
+      }
+      LEp.swap(newp);
+      LEi.swap(ni);
+      LEv.swap(nv);
+    }
+    // U_F columns: cap ceil(schur_aU * col_ref[ord[m+j]]); UF stored per
+    // source row (CSC of U_F); dropping is per *column* of U_F == per tail col
+    if (schur_aU > 0.0) {
+      // build column-major counts of UF: column c in [0, nm)
+      std::vector<i64> colcnt(nm, 0);
+      for (i64 k = 0; k < (i64)UFi.size(); ++k) ++colcnt[UFi[k]];
+      // select per column the cap largest: gather entries per column
+      std::vector<i64> cptr(nm + 1, 0);
+      for (i64 c = 0; c < nm; ++c) cptr[c + 1] = cptr[c] + colcnt[c];
+      std::vector<i64> entry_of(UFi.size());
+      {
+        std::vector<i64> nx(cptr.begin(), cptr.end() - 1);
+        for (i64 j = 0; j < m; ++j)
+          for (i64 k = UFp[j]; k < UFp[j + 1]; ++k)
+            entry_of[nx[UFi[k]]++] = k;
+      }
+      std::vector<char> kill(UFi.size(), 0);
+      for (i64 c = 0; c < nm; ++c) {
+        const i64 a = cptr[c], b = cptr[c + 1];
+        i64 cap = (i64)std::ceil(schur_aU * (double)col_ref[res->ord[m + c]]);
+        if (cap < 1) cap = 1;
+        if (b - a > cap) {
+          std::nth_element(entry_of.begin() + a, entry_of.begin() + a + cap - 1,
+                           entry_of.begin() + b, [&](i64 x, i64 y) {
+                             return std::fabs(UFv[x]) > std::fabs(UFv[y]);
+                           });
+          for (i64 k = a + cap; k < b; ++k) kill[entry_of[k]] = 1;
+        }
+      }
+      // compress
+      std::vector<i64> newp(m + 1, 0);
+      i64 w = 0;
+      for (i64 j = 0; j < m; ++j) {
+        for (i64 k = UFp[j]; k < UFp[j + 1]; ++k)
+          if (!kill[k]) {
+            UFi[w] = UFi[k];
+            UFv[w++] = UFv[k];
+          }
+        newp[j + 1] = w;
+      }
+      UFi.resize(w);
+      UFv.resize(w);
+      UFp.swap(newp);
+    }
+
+    // ---- Schur: S = Ahat[tail, tail] - L_E D U_F (ref Schur.hpp:214) ----
+    // row i of S: C row = Ahat row ord[m+i] restricted to tail columns
+    std::vector<long double> acc(nm, 0.0L);
+    std::vector<i64> stag(nm, -1);
+    std::vector<i32> srow;
+    res->Sp.assign(nm + 1, 0);
+    for (i64 i = 0; i < nm; ++i) {
+      srow.clear();
+      const i64 arow = res->ord[m + i];
+      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+        const i64 pc = pos[Ai[k]];
+        if (pc >= m) {
+          const i64 c = pc - m;
+          acc[c] = (long double)Av[k];
+          stag[c] = i;
+          srow.push_back((i32)c);
+        }
+      }
+      for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
+        const i32 j = LEi[k];
+        const long double ld = (long double)LEv[k] * (long double)dvec[j];
+        for (i64 kk = UFp[j]; kk < UFp[j + 1]; ++kk) {
+          const i32 c = UFi[kk];
+          if (stag[c] != i) {
+            acc[c] = -ld * (long double)UFv[kk];
+            stag[c] = i;
+            srow.push_back(c);
+          } else
+            acc[c] -= ld * (long double)UFv[kk];
+        }
+      }
+      std::sort(srow.begin(), srow.end());
+      for (i32 c : srow) {
+        res->Si.push_back(c);
+        res->Sv.push_back((double)acc[c]);
+      }
+      res->Sp[i + 1] = (i64)res->Si.size();
+    }
+  } else {
+    res->Sp.assign(1, 0);
+  }
+  (void)dummy_num;
+  (void)dummy_space;
+  return res;
+}
+
+// ---- result accessors ----
+HT_API i64 ht_res_m(void *h) { return ((Result *)h)->m; }
+HT_API i64 ht_res_nnz(void *h, int what) {
+  auto *r = (Result *)h;
+  switch (what) {
+    case 0: return (i64)r->Li.size();
+    case 1: return (i64)r->Ui.size();
+    case 2: return (i64)r->Si.size();
+  }
+  return -1;
+}
+HT_API void ht_res_copy_mat(void *h, int what, i64 *indptr, i32 *indices,
+                            double *vals) {
+  auto *r = (Result *)h;
+  const std::vector<i64> *p;
+  const std::vector<i32> *i;
+  const std::vector<double> *v;
+  if (what == 0) { p = &r->Lp; i = &r->Li; v = &r->Lv; }
+  else if (what == 1) { p = &r->Up; i = &r->Ui; v = &r->Uv; }
+  else { p = &r->Sp; i = &r->Si; v = &r->Sv; }
+  std::memcpy(indptr, p->data(), p->size() * sizeof(i64));
+  if (!i->empty()) std::memcpy(indices, i->data(), i->size() * sizeof(i32));
+  if (!v->empty()) std::memcpy(vals, v->data(), v->size() * sizeof(double));
+}
+HT_API void ht_res_copy_d(void *h, double *out) {
+  auto *r = (Result *)h;
+  std::memcpy(out, r->d.data(), r->d.size() * sizeof(double));
+}
+HT_API void ht_res_copy_ord(void *h, i64 *out) {
+  auto *r = (Result *)h;
+  std::memcpy(out, r->ord.data(), r->ord.size() * sizeof(i64));
+}
+HT_API void ht_res_copy_stats(void *h, i64 *out) {
+  auto *r = (Result *)h;
+  std::memcpy(out, r->stats, 6 * sizeof(i64));
+}
+HT_API void ht_res_free(void *h) { delete (Result *)h; }

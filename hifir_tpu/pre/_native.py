@@ -1,9 +1,10 @@
 """ctypes bridge to the compiled native host kernels (``hifir_tpu/native``).
 
-The reference keeps its serial graph/matching algorithms in optimized C++
-(``pre/equilibrate.hpp``, ``pre/amd.hpp``, ``pre/rcm.hpp``); we do the same via
-a small shared library.  Pure-Python anchors exist for every function so the
-framework degrades gracefully when the library is not built.
+The reference keeps its serial graph/matching/factorization algorithms in
+optimized C++ (``pre/equilibrate.hpp``, ``pre/amd.hpp``, ``pre/rcm.hpp``,
+``alg/factor.hpp``); we do the same via a small shared library.  Pure-Python
+anchors exist for every function so the framework degrades gracefully when the
+library is not built (``make -C hifir_tpu/native``).
 """
 
 from __future__ import annotations
@@ -22,6 +23,16 @@ _I32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _F64 = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 
+def _bind(lib: ctypes.CDLL, name: str, restype, argtypes) -> bool:
+    try:
+        fn = getattr(lib, name)
+    except AttributeError:
+        return False
+    fn.restype = restype
+    fn.argtypes = argtypes
+    return True
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
@@ -35,15 +46,27 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(path)
     except OSError:
         return None
-    try:
-        lib.ht_mc64.restype = ctypes.c_int
-        lib.ht_mc64.argtypes = [ctypes.c_int64, _I64, _I32, _F64, _I64, _F64,
-                                _F64]
-        lib.ht_amd.restype = ctypes.c_int
-        lib.ht_amd.argtypes = [ctypes.c_int64, _I64, _I32, _I64]
-        lib.ht_rcm.restype = ctypes.c_int
-        lib.ht_rcm.argtypes = [ctypes.c_int64, _I64, _I32, _I64]
-    except AttributeError:
+    c = ctypes.c_int64
+    ok = _bind(lib, "ht_mc64", ctypes.c_int,
+               [c, _I64, _I32, _F64, _I64, _F64, _F64])
+    lib._has_amd = _bind(lib, "ht_amd", ctypes.c_int, [c, _I64, _I32, _I64])
+    lib._has_rcm = _bind(lib, "ht_rcm", ctypes.c_int, [c, _I64, _I32, _I64])
+    lib._has_crout = _bind(
+        lib, "ht_crout", ctypes.c_void_p,
+        [c, c, _I64, _I32, _F64, _F64,
+         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+         ctypes.c_double, ctypes.c_double, _I64, _I64,
+         ctypes.c_double, ctypes.c_double])
+    if lib._has_crout:
+        _bind(lib, "ht_res_m", c, [ctypes.c_void_p])
+        _bind(lib, "ht_res_nnz", c, [ctypes.c_void_p, ctypes.c_int])
+        _bind(lib, "ht_res_copy_mat", None,
+              [ctypes.c_void_p, ctypes.c_int, _I64, _I32, _F64])
+        _bind(lib, "ht_res_copy_d", None, [ctypes.c_void_p, _F64])
+        _bind(lib, "ht_res_copy_ord", None, [ctypes.c_void_p, _I64])
+        _bind(lib, "ht_res_copy_stats", None, [ctypes.c_void_p, _I64])
+        _bind(lib, "ht_res_free", None, [ctypes.c_void_p])
+    if not ok:
         return None
     _LIB = lib
     return _LIB
@@ -51,6 +74,11 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def has_crout() -> bool:
+    lib = _load()
+    return bool(lib is not None and getattr(lib, "_has_crout", False))
 
 
 def mc64(B) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
@@ -72,7 +100,7 @@ def mc64(B) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
 def amd(n: int, indptr: np.ndarray, indices: np.ndarray) -> Optional[np.ndarray]:
     """Native AMD ordering on a symmetric pattern; returns permutation or None."""
     lib = _load()
-    if lib is None:
+    if lib is None or not getattr(lib, "_has_amd", False):
         return None
     perm = np.empty(n, dtype=np.int64)
     st = lib.ht_amd(n, np.ascontiguousarray(indptr, dtype=np.int64),
@@ -84,7 +112,7 @@ def amd(n: int, indptr: np.ndarray, indices: np.ndarray) -> Optional[np.ndarray]
 
 def rcm(n: int, indptr: np.ndarray, indices: np.ndarray) -> Optional[np.ndarray]:
     lib = _load()
-    if lib is None:
+    if lib is None or not getattr(lib, "_has_rcm", False):
         return None
     perm = np.empty(n, dtype=np.int64)
     st = lib.ht_rcm(n, np.ascontiguousarray(indptr, dtype=np.int64),
@@ -92,3 +120,54 @@ def rcm(n: int, indptr: np.ndarray, indices: np.ndarray) -> Optional[np.ndarray]
     if st != 0:
         return None
     return perm
+
+
+def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
+                                                     float, float, float],
+          row_ref: np.ndarray, col_ref: np.ndarray,
+          schur_aL: float, schur_aU: float):
+    """Native deferred-Crout level kernel + Schur.
+
+    Returns ``(m, L_B, U_B, S, d, ord_final, stats)`` with L_B/U_B/S as
+    ``(indptr, indices, vals)`` CSR triples; same semantics as
+    :func:`hifir_tpu.alg.crout_np.crout_level_np` plus the L_E/U_F dropping
+    and Schur formation fused in.
+    """
+    lib = _load()
+    kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = pars
+    n = Ahat.nrows
+    h = lib.ht_crout(
+        n, m2, Ahat.indptr, Ahat.indices,
+        np.ascontiguousarray(Ahat.data, dtype=np.float64),
+        np.ascontiguousarray(d0, dtype=np.float64),
+        kappa_d, kappa, tau_L, tau_U, alpha_L, alpha_U,
+        np.ascontiguousarray(row_ref, dtype=np.int64),
+        np.ascontiguousarray(col_ref, dtype=np.int64),
+        schur_aL, schur_aU)
+    if not h:
+        raise RuntimeError("native crout failed")
+    try:
+        m = lib.ht_res_m(h)
+        nm = n - m
+
+        def _mat(what, nrows):
+            nnz = lib.ht_res_nnz(h, what)
+            indptr = np.empty(nrows + 1, dtype=np.int64)
+            indices = np.empty(max(nnz, 1), dtype=np.int32)
+            vals = np.empty(max(nnz, 1), dtype=np.float64)
+            lib.ht_res_copy_mat(h, what, indptr, indices, vals)
+            return indptr, indices[:nnz], vals[:nnz]
+
+        L = _mat(0, m)
+        U = _mat(1, m)
+        S = _mat(2, nm)
+        d = np.empty(m, dtype=np.float64)
+        if m:
+            lib.ht_res_copy_d(h, d)
+        ordf = np.empty(n, dtype=np.int64)
+        lib.ht_res_copy_ord(h, ordf)
+        stats = np.empty(6, dtype=np.int64)
+        lib.ht_res_copy_stats(h, stats)
+    finally:
+        lib.ht_res_free(h)
+    return m, L, U, S, d, ordf, stats
