@@ -240,7 +240,14 @@ class CSR:
     # -- triangular solves (host oracles; device versions in ops/trsv) ------
     def solve_as_strict_lower(self, b: np.ndarray) -> np.ndarray:
         """Solve (I + strict_lower(A)) x = b in-place semantics
-        (ref ``solve_as_strict_lower``, ``:1358``)."""
+        (ref ``solve_as_strict_lower``, ``:1358``).  Uses the native C++
+        kernel when available; Python loop fallback otherwise."""
+        from ..pre import _native
+
+        if self.data.dtype == np.float64 and not np.iscomplexobj(b):
+            x = _native.trsv(self, np.asarray(b, dtype=np.float64), True)
+            if x is not None:
+                return x
         x = np.array(b, copy=True)
         for i in range(self.nrows):
             s, e = self.indptr[i], self.indptr[i + 1]
@@ -252,6 +259,12 @@ class CSR:
 
     def solve_as_strict_upper(self, b: np.ndarray) -> np.ndarray:
         """Solve (I + strict_upper(A)) x = b (ref ``:1451``)."""
+        from ..pre import _native
+
+        if self.data.dtype == np.float64 and not np.iscomplexobj(b):
+            x = _native.trsv(self, np.asarray(b, dtype=np.float64), False)
+            if x is not None:
+                return x
         x = np.array(b, copy=True)
         for i in range(self.nrows - 1, -1, -1):
             s, e = self.indptr[i], self.indptr[i + 1]

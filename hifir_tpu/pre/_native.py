@@ -66,6 +66,9 @@ def _load() -> Optional[ctypes.CDLL]:
         _bind(lib, "ht_res_copy_ord", None, [ctypes.c_void_p, _I64])
         _bind(lib, "ht_res_copy_stats", None, [ctypes.c_void_p, _I64])
         _bind(lib, "ht_res_free", None, [ctypes.c_void_p])
+    lib._has_trsv = (
+        _bind(lib, "ht_trsv_lower", None, [c, _I64, _I32, _F64, _F64]) and
+        _bind(lib, "ht_trsv_upper", None, [c, _I64, _I32, _F64, _F64]))
     if not ok:
         return None
     _LIB = lib
@@ -171,3 +174,35 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
     finally:
         lib.ht_res_free(h)
     return m, L, U, S, d, ordf, stats
+
+
+def trsv(M, b: np.ndarray, lower: bool) -> Optional[np.ndarray]:
+    """Native sequential strict-triangular solve; None if unavailable."""
+    lib = _load()
+    if (lib is None or not getattr(lib, "_has_trsv", False)
+            or M.data.dtype != np.float64 or b.dtype != np.float64):
+        return None
+    x = np.array(b, dtype=np.float64, copy=True)
+    fn = lib.ht_trsv_lower if lower else lib.ht_trsv_upper
+    fn(M.nrows, M.indptr, M.indices,
+       np.ascontiguousarray(M.data, dtype=np.float64), x)
+    return x
+
+
+def trsv_levels(n: int, indptr: np.ndarray, indices: np.ndarray,
+                lower: bool) -> Optional[np.ndarray]:
+    """Dependency levels of a strict-triangular factor; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_has_levels"):
+        lib._has_levels = _bind(
+            lib, "ht_trsv_levels", None,
+            [ctypes.c_int64, _I64, _I32, ctypes.c_int, _I64])
+    if not lib._has_levels:
+        return None
+    lev = np.zeros(n, dtype=np.int64)
+    lib.ht_trsv_levels(n, np.ascontiguousarray(indptr, dtype=np.int64),
+                       np.ascontiguousarray(indices, dtype=np.int32),
+                       1 if lower else 0, lev)
+    return lev

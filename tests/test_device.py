@@ -1,0 +1,151 @@
+"""Device (jitted) compute-path tests on the CPU backend.
+
+Validates the TPU code paths — level-scheduled trsv, sliced-ELL SpMV, the
+jitted multilevel solve (single and multiple RHS), and the device Krylov
+drivers — against the host anchors.  Runs on the fake CPU backend configured
+in conftest (8 virtual devices, x64).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hifir_tpu.api import HIF
+from hifir_tpu.models import (convdiff2d, random_sparse,
+                              random_strict_triangular, saddle_point_stokes)
+from hifir_tpu.options import Options
+from hifir_tpu.ops import (build_trsv_schedule, ell_from_csr, ell_matvec,
+                           trsv_apply, trsv_apply_mrhs)
+from hifir_tpu.ops.spmv import ell_matvec_mrhs, sliced_ell_from_csr
+
+
+@pytest.mark.parametrize("lower", [True, False])
+@pytest.mark.parametrize("chunk", [8, 64])
+def test_trsv_schedule_vs_host(lower, chunk):
+    n = 150
+    T = random_strict_triangular(n, lower=lower, seed=3)
+    b = np.random.default_rng(0).standard_normal(n)
+    s = build_trsv_schedule(T, lower=lower, chunk=chunk)
+    x = np.asarray(trsv_apply(s, jnp.asarray(b)))
+    xr = T.solve_as_strict_lower(b) if lower else T.solve_as_strict_upper(b)
+    np.testing.assert_allclose(x, xr, rtol=1e-10, atol=1e-10)
+
+
+def test_trsv_mrhs():
+    n = 80
+    T = random_strict_triangular(n, lower=True, seed=5)
+    B = np.random.default_rng(1).standard_normal((n, 4))
+    s = build_trsv_schedule(T, lower=True, chunk=16)
+    X = np.asarray(trsv_apply_mrhs(s, jnp.asarray(B)))
+    for k in range(4):
+        np.testing.assert_allclose(X[:, k], T.solve_as_strict_lower(B[:, k]),
+                                   rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("sliced", [False, True])
+def test_ell_spmv(sliced):
+    A = random_sparse(120, 9, seed=2, ncols=77)
+    x = np.random.default_rng(0).standard_normal(77)
+    e = sliced_ell_from_csr(A) if sliced else ell_from_csr(A)
+    y = np.asarray(ell_matvec(e, jnp.asarray(x)))
+    np.testing.assert_allclose(y, A.matvec(x), rtol=1e-12)
+    X = np.random.default_rng(1).standard_normal((77, 3))
+    Y = np.asarray(ell_matvec_mrhs(e, jnp.asarray(X)))
+    for k in range(3):
+        np.testing.assert_allclose(Y[:, k], A.matvec(X[:, k]), rtol=1e-12)
+
+
+def _factorized(A):
+    opts = Options(tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3, kappa=5,
+                   kappa_d=5, verbose=0, dense_thres=30)
+    return HIF().factorize(A, opts)
+
+
+def test_device_prec_solve_matches_host():
+    A = saddle_point_stokes(8)
+    M = _factorized(A)
+    dp = M.to_device()
+    b = np.random.default_rng(0).standard_normal(A.nrows)
+    xh = M.solve(b)
+    xd = np.asarray(dp.solve(b))
+    np.testing.assert_allclose(xd, xh, rtol=1e-12, atol=1e-12 * np.abs(xh).max())
+
+
+def test_device_prec_solve_mrhs_matches_host():
+    A = convdiff2d(10)
+    M = _factorized(A)
+    dp = M.to_device()
+    B = np.random.default_rng(1).standard_normal((A.nrows, 5))
+    Xd = np.asarray(dp.solve_mrhs(jnp.asarray(B)))
+    for k in range(5):
+        np.testing.assert_allclose(Xd[:, k], M.solve(B[:, k]), rtol=1e-10,
+                                   atol=1e-10)
+
+
+def test_device_prec_solve_tran_matches_host():
+    A = convdiff2d(9)
+    M = _factorized(A)
+    dp = M.to_device()
+    dp.pack_transpose(M.precs)
+    b = np.random.default_rng(2).standard_normal(A.nrows)
+    xh = M.solve(b, trans=True)
+    xd = np.asarray(dp.solve(b, trans=True))
+    np.testing.assert_allclose(xd, xh, rtol=1e-10, atol=1e-10 * np.abs(xh).max())
+
+
+def test_device_gmres_converges():
+    from hifir_tpu.solvers import gmres_hif_device
+
+    A = convdiff2d(12)
+    M = _factorized(A)
+    dp = M.to_device()
+    Aell = sliced_ell_from_csr(A)
+    b = np.ones(A.nrows)
+    x, flag, iters = gmres_hif_device(Aell, dp, b, restart=20, rtol=1e-8)
+    assert flag == 0
+    res = np.linalg.norm(b - A.matvec(np.asarray(x))) / np.linalg.norm(b)
+    assert res <= 1e-8
+
+
+def test_device_fgmres_hifir_converges():
+    from hifir_tpu.solvers import fgmres_hifir_device
+
+    A = convdiff2d(12)
+    M = _factorized(A)
+    dp = M.to_device()
+    Aell = sliced_ell_from_csr(A)
+    b = np.ones(A.nrows)
+    x, flag, iters = fgmres_hifir_device(Aell, dp, b, restart=20, rtol=1e-8)
+    assert flag == 0
+    res = np.linalg.norm(b - A.matvec(np.asarray(x))) / np.linalg.norm(b)
+    assert res <= 1e-8
+
+
+def test_device_ir_mixed_precision():
+    """f32 preconditioner + f64 residual refinement reaches f64-level accuracy
+    (the reference's lhfsdApply mixed mode, libhifir.h:1231-1282)."""
+    from hifir_tpu.solvers import ir_apply_device
+
+    A = convdiff2d(10)
+    n = A.nrows
+    M = _factorized(A)
+    dp32 = M.to_device(dtype=jnp.float32)
+    Aell = sliced_ell_from_csr(A)
+    b = np.random.default_rng(3).standard_normal(n)
+    xd = np.linalg.solve(A.todense(), b)
+
+    levels, tail = dp32.operands()
+
+    # mixed IR on host side: f64 residual, f32 M-solve
+    x = np.zeros(n)
+    for _ in range(30):
+        r = b - A.matvec(x)
+        dx = np.asarray(jax.jit(
+            lambda lv, tl, v: __import__("hifir_tpu.alg.prec", fromlist=["x"]
+                                         ).prec_solve_device(lv, tl, v))(
+            levels, tail, jnp.asarray(r, jnp.float32)))
+        x = x + dx.astype(np.float64)
+    res = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert res <= 1e-12
