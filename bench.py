@@ -1,0 +1,109 @@
+"""Headline benchmark: batched multilevel M-solve throughput on one chip.
+
+Measures the HIF preconditioner application (the inner loop of every Krylov
+solve; BASELINE.json metric "M-solve (trsv+IR) nnz/s/chip") on a 2-D Poisson
+system (BASELINE.json config 2): factorize on host (native C++ deferred-Crout
+kernels), pack to the TPU as level-scheduled trsv schedules + sliced-ELL, and
+apply to a batch of right-hand sides in f32 with an f64-residual correctness
+check (the mixed-precision mode mirroring the reference ``lhfsdApply``).
+
+Baseline: the same preconditioner applied by the serial host path (native C++
+trsv + SpMV — the reference library's execution model, measured on this
+machine).  vs_baseline = TPU per-RHS throughput / host per-RHS throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hifir_tpu.api import HIF
+    from hifir_tpu.models import poisson2d
+    from hifir_tpu.options import Options
+
+    NX = 256
+    NRHS = 128
+    A = poisson2d(NX)
+    n = A.nrows
+    opts = Options(tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3, kappa=5,
+                   kappa_d=5, verbose=0)
+    t0 = time.time()
+    M = HIF().factorize(A, opts)
+    t_fact = time.time() - t0
+    nnz_m = M.nnz()
+    log(f"n={n} nnz(A)={A.nnz} factorize {t_fact:.2f}s "
+        f"({A.nnz / t_fact / 1e6:.2f} Mnnz/s) fill {nnz_m / A.nnz:.2f} "
+        f"levels {M.levels()}")
+
+    # --- host baseline: serial single-RHS M-solve (native C++ kernels) -----
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+    M.solve(b)  # warm
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        xh = M.solve(b)
+    host_per_rhs = (time.time() - t0) / reps
+    host_thr = nnz_m / host_per_rhs
+    log(f"host M-solve: {host_per_rhs * 1e3:.2f} ms/RHS "
+        f"({host_thr / 1e6:.1f} Mnnz/s)")
+
+    # --- TPU batched solve --------------------------------------------------
+    dp = M.to_device(dtype=jnp.float32)
+    B = jnp.asarray(rng.standard_normal((n, NRHS)), jnp.float32)
+    X = dp.solve_mrhs(B)
+    float(jnp.sum(X))  # sync (block_until_ready is unreliable on the tunnel)
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        X = dp.solve_mrhs(B)
+        float(jnp.sum(X))
+    tpu_total = (time.time() - t0) / reps
+    tpu_per_rhs = tpu_total / NRHS
+    tpu_thr = nnz_m / tpu_per_rhs
+    log(f"TPU M-solve mrhs={NRHS} f32: {tpu_total * 1e3:.1f} ms total, "
+        f"{tpu_per_rhs * 1e3:.3f} ms/RHS ({tpu_thr / 1e6:.1f} Mnnz/s/RHS)")
+
+    # --- correctness 1: device f32 solve vs host f64 solve ------------------
+    rel_dev = (np.abs(np.asarray(X[:, 0], dtype=np.float64) - M.solve(
+        np.asarray(B[:, 0], dtype=np.float64))).max()
+        / max(np.abs(xh).max(), 1e-300))
+    log(f"device-vs-host M-solve rel diff (f32 pack): {rel_dev:.2e}")
+    if not (rel_dev < 1e-4):
+        log("WARNING: device solve deviates from host beyond f32 tolerance")
+
+    # --- correctness 2: mixed f32-M / f64-residual IR must contract --------
+    x = np.zeros(n)
+    bb = np.asarray(B[:, 0], dtype=np.float64)
+    r0 = np.linalg.norm(bb)
+    for _ in range(10):
+        r = bb - A.matvec(x)
+        dx = np.asarray(dp.solve_mrhs(jnp.asarray(r, jnp.float32)[:, None]))
+        x = x + dx[:, 0].astype(np.float64)
+    rel = np.linalg.norm(bb - A.matvec(x)) / r0
+    log(f"mixed-precision IR residual after 10 steps: {rel:.2e}")
+    if not (rel < 0.1):
+        log("WARNING: IR contraction is weak for this configuration")
+
+    print(json.dumps({
+        "metric": "hif_msolve_throughput_per_chip",
+        "value": round(tpu_thr, 1),
+        "unit": "nnz/s",
+        "vs_baseline": round(tpu_thr / host_thr, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
