@@ -65,6 +65,19 @@ class LevelPrec:
     def nnz_ldu(self) -> int:
         return self.L_B.nnz + self.U_B.nnz + self.m
 
+    def astype(self, dtype) -> "LevelPrec":
+        """Cast numeric payload (single-precision storage mode, the analog of
+        the reference float instantiations HIF<float>)."""
+        out = dataclasses.replace(
+            self,
+            L_B=self.L_B.astype(dtype), U_B=self.U_B.astype(dtype),
+            E=self.E.astype(dtype), F=self.F.astype(dtype),
+            d=self.d.astype(dtype), s=self.s.astype(dtype),
+            t=self.t.astype(dtype))
+        if out.dense_matrix is not None:
+            out.dense_matrix = out.dense_matrix.astype(dtype)
+        return out
+
 
 def _drop_offsets(M: CSR, ref_sizes: np.ndarray, alpha: float) -> CSR:
     """Per-row space cap on the offset factors L_E / U_F

@@ -129,3 +129,44 @@ def prec_prod_np(precs: List[LevelPrec], x: np.ndarray, last_dim: int = 0,
     y = np.empty(n, dtype=u.dtype)
     y[prec.p] = u / prec.s[prec.p]
     return y
+
+
+def prec_prod_tran_np(precs: List[LevelPrec], x: np.ndarray, last_dim: int = 0,
+                      level: int = 0) -> np.ndarray:
+    """Adjoint forward product y = M^H x (ref ``prec_prod_tran``,
+    alg/prec_prod.hpp).
+
+    With M = S^{-1} P^T Z Q^T T^{-1} and Z the level block operator, the
+    adjoint is M^H = T^{-H} Q Z^H P S^{-H}, applied level by level with E/F
+    swapped and the LDU factors conjugate-transposed.
+    """
+    prec = precs[level]
+    m, n = prec.m, prec.n
+    nm = n - m
+    conj = np.conj
+    w = np.asarray(x)[prec.p] / conj(prec.s[prec.p])
+    w1, w2 = w[:m], w[m:]
+
+    def bhat_h(z):
+        # (I + U^H) conj(D) (I + L^H) z
+        z = z + prec.L_B.matvec_tran(z, conj=np.iscomplexobj(prec.L_B.data))
+        z = conj(prec.d) * z
+        return z + prec.U_B.matvec_tran(z, conj=np.iscomplexobj(prec.U_B.data))
+
+    if nm:
+        cplx = np.iscomplexobj(prec.E.data)
+        EHw2 = prec.E.matvec_tran(w2, conj=cplx)
+        u = w1 + _ldu_solve_tran(prec, EHw2)
+        if prec.is_last_level:
+            mnext = (prec.dense_solver.multiply(w2, trans=True)
+                     if prec.dense_solver is not None else w2)
+        else:
+            mnext = prec_prod_tran_np(precs, w2, last_dim, level + 1)
+        z2 = prec.F.matvec_tran(u, conj=cplx) + mnext
+        z1 = bhat_h(w1) + EHw2
+        z = np.concatenate([z1, z2])
+    else:
+        z = bhat_h(w1)
+    y = np.zeros(n, dtype=z.dtype)
+    y[prec.q] = z / conj(prec.t[prec.q])
+    return y

@@ -20,7 +20,7 @@ import numpy as np
 
 from .alg.factor import LevelPrec, level_factorize
 from .alg.iter_refine import iter_refine
-from .alg.prec_solve_np import prec_prod_np, prec_solve_np
+from .alg.prec_solve_np import prec_prod_np, prec_prod_tran_np, prec_solve_np
 from .ds.csr import CSR
 from .options import Options, get_default_options
 from .small_scale.dense import SYEIG, make_dense_solver
@@ -120,6 +120,11 @@ class HIF:
                 row_sizes, col_sizes, self.stats_)
             self.precs.append(prec)
             level += 1
+        # single-precision storage mode (opts.dtype)
+        if opts.dtype == "float32" and np.issubdtype(
+                self.precs[0].d.dtype if self.precs[0].m else np.float64,
+                np.floating):
+            self.precs = [p.astype(np.float32) for p in self.precs]
         # factor the dense tail if present (ref factor.hpp:1284-1296)
         last = self.precs[-1]
         if last.dense_matrix is not None:
@@ -170,7 +175,7 @@ class HIF:
         if self.empty():
             hif_error("the preconditioner is empty")
         if trans:
-            hif_error("transpose mmultiply is not implemented yet")
+            return prec_prod_tran_np(self.precs, np.asarray(x), r)
         return prec_prod_np(self.precs, np.asarray(x), r)
 
     # -- device export ------------------------------------------------------
