@@ -122,11 +122,12 @@ def _compute_schur(C_tail, L_E: CSR, d: np.ndarray, U_F: CSR) -> CSR:
 
 def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
                     row_sizes: np.ndarray, col_sizes: np.ndarray,
-                    stats: np.ndarray
+                    stats: np.ndarray, force_pivot: bool = False
                     ) -> Tuple[LevelPrec, Optional[CSR], np.ndarray, np.ndarray]:
     """One level end-to-end.  Returns ``(prec, S_next, row_sizes, col_sizes)``;
     ``S_next`` is ``None`` when this is the last level (dense tail attached to
-    ``prec.dense_matrix``)."""
+    ``prec.dense_matrix``).  ``force_pivot`` selects the rook-pivoting kernel
+    (the AUTO retry path, ref builder.hpp:552-567)."""
     import scipy.sparse as sp
 
     n = A.nrows
@@ -185,10 +186,17 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     from ..pre import _native
     from ..options import determine_fac_pars
 
-    use_native = (opts.use_native and _native.has_crout()
+    from ..options import PIVOTING_ON
+
+    use_pivot = force_pivot or opts.pivot == PIVOTING_ON
+    use_native = (not use_pivot and opts.use_native and _native.has_crout()
                   and Ahat.data.dtype == np.float64)
     S_native = None
-    if use_native:
+    if use_pivot:
+        from .crout_pivot_np import pivot_crout_level_np
+
+        res = pivot_crout_level_np(Ahat, m2, level, opts, row_ref, col_ref)
+    elif use_native:
         pars = determine_fac_pars(opts, level)
         (m, Ltrip, Utrip, Strip, dvec_n, ordf, nstats) = _native.crout(
             Ahat, d0, m2, pars, row_ref, col_ref, a_L, a_U)
@@ -212,6 +220,14 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     elif m2 and m <= 0.4 * m2:
         post_flag = -1
 
+    # AUTO retry: too many dynamic deferrals -> redo this level with the
+    # rook-pivoting kernel (ref factor.hpp:1044-1050 + builder.hpp:552-567)
+    if post_flag != 0 and opts.pivot == PIVOTING_AUTO and not use_pivot:
+        hif_info(opts, "level %d: retrying with rook pivoting "
+                       "(post_flag=%d)", level, post_flag)
+        return level_factorize(A, m0, N, level, opts, row_sizes, col_sizes,
+                               stats, force_pivot=True)
+
     # stats (ref factor.hpp:1053-1060)
     stats[0] += m0 - m
     stats[1] += res.defers if m else 0
@@ -220,13 +236,16 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     stats[4] += res.total_drops
     stats[5] += res.space_drops
 
-    ord_final = res.ord_final
-    p_out = p[ord_final]
-    q_out = q[ord_final]
+    if res.ord_final.ndim == 2:
+        ord_rows, ord_cols = res.ord_final[0], res.ord_final[1]
+    else:
+        ord_rows = ord_cols = res.ord_final
+    p_out = p[ord_rows]
+    q_out = q[ord_cols]
 
     if m and post_flag <= 0:
         # permuted-by-final-order view of Ahat
-        Ah2 = Ahat_s[ord_final, :][:, ord_final].tocsr()
+        Ah2 = Ahat_s[ord_rows, :][:, ord_cols].tocsr()
         if S_native is not None:
             S = S_native
         else:
@@ -269,13 +288,11 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     dense_thres2 = max(int(math.ceil(opts.c_d * N ** (1.0 / 3.0))),
                        2000 if opts.dense_thres <= 0 else opts.dense_thres)
     nm = n - m
-    to_dense = ((post_flag < 0 and opts.pivot != PIVOTING_AUTO)
+    # after an AUTO retry the pivoting kernel already ran, so moderate
+    # deferral flags terminate in the dense level (ref factor.hpp:1231-1235)
+    to_dense = ((post_flag < 0 and (opts.pivot != PIVOTING_AUTO or use_pivot))
                 or int(math.ceil(nm * nm * opts.rho)) <= dense_thres1
                 or nm <= dense_thres2 or not m)
-    # NOTE round-1: the pivoting kernel is not yet wired, so PIVOTING_AUTO
-    # retries degrade to the same-level dense/complete fallbacks above.
-    if post_flag < 0 and opts.pivot == PIVOTING_AUTO:
-        to_dense = True
 
     p_inv = np.empty(n, dtype=np.int64)
     p_inv[p_out] = np.arange(n)

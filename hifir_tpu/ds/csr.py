@@ -144,10 +144,12 @@ class CSR:
 
     # -- transpose / CSC view ----------------------------------------------
     def transpose(self) -> "CSR":
-        """Explicit transpose (ref ``convert_storage``, ``:753``)."""
-        rows = np.repeat(np.arange(self.nrows, dtype=np.int64), self.row_nnz())
-        return CSR.from_coo(self.ncols, self.nrows, self.indices.astype(np.int64),
-                            rows, self.data)
+        """Explicit transpose (ref ``convert_storage``, ``:753``); counting
+        sort via scipy's C kernel."""
+        T = self.to_scipy().tocsc()
+        T.sort_indices()
+        return CSR(self.ncols, self.nrows, T.indptr.astype(np.int64),
+                   T.indices, T.data)
 
     def tocsc(self) -> "CSR":
         """CSR holding the transpose; (indptr, indices) read as CSC of self."""

@@ -93,8 +93,11 @@ def mc64(B) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     p = np.empty(n, dtype=np.int64)
     s = np.empty(n, dtype=np.float64)
     t = np.empty(n, dtype=np.float64)
+    data = AT.data
+    if np.iscomplexobj(data):
+        data = np.abs(data)  # matching costs only use magnitudes
     info = lib.ht_mc64(n, AT.indptr, AT.indices,
-                       np.ascontiguousarray(AT.data, dtype=np.float64), p, s, t)
+                       np.ascontiguousarray(data, dtype=np.float64), p, s, t)
     if info < 0:
         raise RuntimeError(f"native mc64 failed with {info}")
     return p, s, t, info

@@ -16,10 +16,15 @@ __all__ = ["gmres_hif", "fgmres_hifir"]
 
 
 def _givens(a, b):
+    """Complex-safe Givens rotation zeroing b: returns (c, s) with c real,
+    such that [conj(c) conj(s); -s c] ... applied as
+    t = c*a + s*b; b' = -conj(s)*a + conj(c)*b = 0."""
     r = np.hypot(abs(a), abs(b))
     if r == 0.0:
         return 1.0, 0.0
-    return a / r, b / r
+    if not np.iscomplexobj(np.asarray(a)) and not np.iscomplexobj(np.asarray(b)):
+        return a / r, b / r
+    return np.conj(a) / r, np.conj(b) / r
 
 
 def gmres_hif(A, M, b: np.ndarray, restart: int = 30, rtol: float = 1e-6,
@@ -31,22 +36,23 @@ def gmres_hif(A, M, b: np.ndarray, restart: int = 30, rtol: float = 1e-6,
     ``||b - A x|| / ||b|| <= rtol``), 1 otherwise.
     """
     n = b.shape[0]
-    x = np.zeros(n) if x0 is None else np.array(x0, dtype=float)
+    dt = np.result_type(b.dtype, np.float64)
+    x = np.zeros(n, dtype=dt) if x0 is None else np.array(x0, dtype=dt)
     bnrm = np.linalg.norm(b)
     if bnrm == 0.0:
         return x, 0, 0
     it = 0
     for _outer in range(maxit):
-        r = b - A.matvec(x) if it or x0 is not None else b.copy()
+        r = b - A.matvec(x) if it or x0 is not None else b.astype(dt)
         beta = np.linalg.norm(r)
         if beta / bnrm <= rtol:
             return x, 0, it
         m = restart
-        V = np.zeros((m + 1, n))
-        H = np.zeros((m + 1, m))
-        cs = np.zeros(m)
-        sn = np.zeros(m)
-        g = np.zeros(m + 1)
+        V = np.zeros((m + 1, n), dtype=dt)
+        H = np.zeros((m + 1, m), dtype=dt)
+        cs = np.zeros(m, dtype=dt)
+        sn = np.zeros(m, dtype=dt)
+        g = np.zeros(m + 1, dtype=dt)
         g[0] = beta
         V[0] = r / beta
         j = 0
@@ -54,7 +60,7 @@ def gmres_hif(A, M, b: np.ndarray, restart: int = 30, rtol: float = 1e-6,
             w = A.matvec(M.solve(V[j]))
             # modified Gram-Schmidt
             for i in range(j + 1):
-                H[i, j] = w @ V[i]
+                H[i, j] = np.vdot(V[i], w)
                 w -= H[i, j] * V[i]
             H[j + 1, j] = np.linalg.norm(w)
             if H[j + 1, j] > 0:
@@ -62,12 +68,13 @@ def gmres_hif(A, M, b: np.ndarray, restart: int = 30, rtol: float = 1e-6,
             # apply stored rotations
             for i in range(j):
                 t = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
-                H[i + 1, j] = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
+                H[i + 1, j] = (-np.conj(sn[i]) * H[i, j]
+                               + np.conj(cs[i]) * H[i + 1, j])
                 H[i, j] = t
             cs[j], sn[j] = _givens(H[j, j], H[j + 1, j])
             H[j, j] = cs[j] * H[j, j] + sn[j] * H[j + 1, j]
             H[j + 1, j] = 0.0
-            g[j + 1] = -sn[j] * g[j]
+            g[j + 1] = -np.conj(sn[j]) * g[j]
             g[j] = cs[j] * g[j]
             it += 1
             j += 1
@@ -125,7 +132,7 @@ def fgmres_hifir(A, M, b: np.ndarray, restart: int = 30, rtol: float = 1e-6,
             w = A.matvec(z)
             nmv += 1
             for i in range(j + 1):
-                H[i, j] = w @ V[i]
+                H[i, j] = np.vdot(V[i], w)
                 w -= H[i, j] * V[i]
             H[j + 1, j] = np.linalg.norm(w)
             if H[j + 1, j] > 0:

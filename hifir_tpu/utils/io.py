@@ -109,16 +109,18 @@ def write_mm(fname: str, A: "CSR") -> None:
     """Write a host CSR matrix as a general coordinate MatrixMarket file."""
     complex_vals = np.iscomplexobj(A.data)
     field = "complex" if complex_vals else "real"
+    rows = np.repeat(np.arange(1, A.nrows + 1, dtype=np.int64),
+                     np.diff(A.indptr))
     with _open(fname, "wt") as f:
         f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
         f.write(f"{A.nrows} {A.ncols} {A.nnz}\n")
-        for i in range(A.nrows):
-            for k in range(A.indptr[i], A.indptr[i + 1]):
-                v = A.data[k]
-                if complex_vals:
-                    f.write(f"{i + 1} {A.indices[k] + 1} {v.real:.17g} {v.imag:.17g}\n")
-                else:
-                    f.write(f"{i + 1} {A.indices[k] + 1} {v:.17g}\n")
+        if complex_vals:
+            np.savetxt(f, np.column_stack(
+                [rows, A.indices + 1, A.data.real, A.data.imag]),
+                fmt="%d %d %.17g %.17g")
+        else:
+            np.savetxt(f, np.column_stack([rows, A.indices + 1, A.data]),
+                       fmt="%d %d %.17g")
 
 
 def write_mm_vector(fname: str, v: np.ndarray) -> None:

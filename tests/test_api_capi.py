@@ -153,3 +153,29 @@ def test_singular_system_pseudoinverse():
     res = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
     assert res <= 1e-8
     assert abs(x.mean()) <= 1e-10  # constant mode filtered
+
+
+def test_complex_system_young1c():
+    """Complex (z) precision end-to-end on the vendored SuiteSparse matrix
+    (ref examples/intermediate/demo_complex.cpp)."""
+    import os
+
+    path = "/root/reference/examples/demo_inputs/young1c.mtx"
+    if not os.path.exists(path):
+        pytest.skip("reference inputs absent")
+    from hifir_tpu.solvers import gmres_hif
+    from hifir_tpu.utils import io as hio
+
+    A = hio.read_mm(path)
+    assert np.iscomplexobj(A.data)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.nrows) + 1j * rng.standard_normal(A.nrows)
+    M = HIF().factorize(A, Options(verbose=0, use_native=0))
+    x, flag, iters = gmres_hif(A, M, b, restart=30, rtol=1e-8, maxit=200)
+    assert flag == 0 and iters <= 10
+    res = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert res <= 1e-8
+    # Hermitian-transpose solve consistency
+    xt = M.solve(b, trans=True)
+    yt = M.mmultiply(xt, trans=True)
+    np.testing.assert_allclose(yt, b, atol=1e-8 * np.abs(b).max())

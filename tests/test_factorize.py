@@ -155,3 +155,37 @@ def test_stokes_demo_fgmres():
     assert flag == 0 and iters <= 4
     res = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
     assert res <= 1e-6
+
+
+def test_pivoting_complete_exact():
+    """Rook-pivoting kernel (ref PivotCrout.hpp) on a zero-diagonal matrix:
+    complete factorization must still solve exactly, without deferrals."""
+    from hifir_tpu.ds.csr import csr_from_dense
+    from hifir_tpu.options import PIVOTING_ON
+
+    A0 = random_sparse(70, 6, seed=0)
+    D = A0.todense().copy()
+    rng = np.random.default_rng(2)
+    for i in rng.choice(70, size=12, replace=False):
+        D[i, i] = 0.0
+    if abs(np.linalg.det(D)) < 1e-8:
+        pytest.skip("random matrix accidentally singular")
+    A = csr_from_dense(D)
+    opts = complete_opts(no_pre=1, pivot=PIVOTING_ON)
+    M = HIF().factorize(A, opts)
+    b = rng.standard_normal(70)
+    x = M.solve(b)
+    xd = np.linalg.solve(D, b)
+    np.testing.assert_allclose(x, xd, atol=1e-9 * np.abs(xd).max())
+
+
+def test_pivoting_dropped_ilu():
+    from hifir_tpu.options import PIVOTING_ON
+
+    A = saddle_point_stokes(7)
+    opts = Options(verbose=0, pivot=PIVOTING_ON, dense_thres=20)
+    M = HIF().factorize(A, opts)
+    b = np.random.default_rng(3).standard_normal(A.nrows)
+    x, iters, flag = M.hifir(A, b, 100, betas=(1e-10, 1e8))
+    assert flag == 0
+    assert np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b) <= 1e-10
