@@ -168,11 +168,22 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     m2 = m
 
     # --- permuted scaled level matrix in id space ---------------------------
-    S_scipy = A.to_scipy()
-    Ahat_s = (sp.diags(s) @ S_scipy @ sp.diags(t)).tocsr()[p, :][:, q].tocsr()
-    Ahat_s.sort_indices()
-    Ahat = CSR(n, n, Ahat_s.indptr.astype(np.int64), Ahat_s.indices,
-               Ahat_s.data)
+    from ..pre import _native as _nat
+
+    q_inv_ids = np.empty(n, dtype=np.int64)
+    q_inv_ids[q] = np.arange(n)
+    trip = (_nat.permute_scale(A, s, t, p, q_inv_ids)
+            if A.data.dtype == np.float64 else None)
+    if trip is not None:
+        Ahat = CSR(n, n, *trip)
+        Ahat_s = None
+    else:
+        S_scipy = A.to_scipy()
+        Ahat_s = (sp.diags(s) @ S_scipy @ sp.diags(t)
+                  ).tocsr()[p, :][:, q].tocsr()
+        Ahat_s.sort_indices()
+        Ahat = CSR(n, n, Ahat_s.indptr.astype(np.int64), Ahat_s.indices,
+                   Ahat_s.data)
     d0 = Ahat.diagonal()[:m2] if m2 else np.empty(0, dtype=A.dtype)
 
     row_ref = row_sizes[p]
@@ -192,14 +203,16 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     use_native = (not use_pivot and opts.use_native and _native.has_crout()
                   and Ahat.data.dtype == np.float64)
     S_native = None
+    EF_native = None
     if use_pivot:
         from .crout_pivot_np import pivot_crout_level_np
 
         res = pivot_crout_level_np(Ahat, m2, level, opts, row_ref, col_ref)
     elif use_native:
         pars = determine_fac_pars(opts, level)
-        (m, Ltrip, Utrip, Strip, dvec_n, ordf, nstats) = _native.crout(
-            Ahat, d0, m2, pars, row_ref, col_ref, a_L, a_U)
+        (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,
+         nstats) = _native.crout(Ahat, d0, m2, pars, row_ref, col_ref,
+                                 a_L, a_U)
         res = CroutResult(
             m=m, n=n,
             L_B=CSR(m, m, *Ltrip), d=dvec_n, U_B=CSR(m, m, *Utrip),
@@ -208,6 +221,7 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
             cond_defers=int(nstats[2]), space_drops=int(nstats[3]),
             total_drops=int(nstats[4]), kappa_u=None, kappa_l=None)
         S_native = CSR(n - m, n - m, *Strip)
+        EF_native = (CSR(n - m, m, *Etrip), CSR(m, n - m, *Ftrip))
     else:
         res = crout_level_np(Ahat, d0, m2, level, opts, row_ref, col_ref)
     m = res.m
@@ -244,11 +258,14 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     q_out = q[ord_cols]
 
     if m and post_flag <= 0:
-        # permuted-by-final-order view of Ahat
-        Ah2 = Ahat_s[ord_rows, :][:, ord_cols].tocsr()
         if S_native is not None:
             S = S_native
+            E, F = EF_native
         else:
+            # permuted-by-final-order view of Ahat
+            if Ahat_s is None:
+                Ahat_s = Ahat.to_scipy()
+            Ah2 = Ahat_s[ord_rows, :][:, ord_cols].tocsr()
             # L_E / U_F dropping (ref factor.hpp:1152-1181)
             L_E = _drop_offsets(res.L_E, row_sizes[p_out[m:]], a_L)
             U_F_t = _drop_offsets(res.U_F.transpose(), col_sizes[q_out[m:]],
@@ -256,10 +273,10 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
             U_F = U_F_t.transpose()
             C_tail = Ah2[m:, :][:, m:].tocsr()
             S = _compute_schur(C_tail, L_E, res.d, U_F)
-        E = Ah2[m:, :][:, :m].tocsr()
-        F = Ah2[:m, :][:, m:].tocsr()
-        E = CSR(n - m, m, E.indptr.astype(np.int64), E.indices, E.data)
-        F = CSR(m, n - m, F.indptr.astype(np.int64), F.indices, F.data)
+            E = Ah2[m:, :][:, :m].tocsr()
+            F = Ah2[:m, :][:, m:].tocsr()
+            E = CSR(n - m, m, E.indptr.astype(np.int64), E.indices, E.data)
+            F = CSR(m, n - m, F.indptr.astype(np.int64), F.indices, F.data)
         L_B, dvec, U_B = res.L_B, res.d, res.U_B
     else:
         # too many deferrals: S = A, trivial level (ref factor.hpp:1200-1207)

@@ -282,12 +282,15 @@ class CSR:
         (ref ``compute_pattern_symm_ratio``, ``alg/factor.hpp:507``)."""
         if self.nnz == 0:
             return 1.0
-        import scipy.sparse as sp
-
-        P = self.to_scipy().copy()
-        P.data = np.ones_like(P.data, dtype=np.float64)
-        sym = P.multiply(P.T)
-        return float(sym.nnz) / float(P.nnz)
+        # membership of transposed positions in the (globally sorted)
+        # row-major key sequence -- O(nnz log nnz), no products built
+        rows = np.repeat(np.arange(self.nrows, dtype=np.int64),
+                         self.row_nnz())
+        keys = rows * np.int64(self.ncols) + self.indices.astype(np.int64)
+        tkeys = self.indices.astype(np.int64) * np.int64(self.ncols) + rows
+        pos = np.searchsorted(keys, tkeys)
+        pos = np.minimum(pos, keys.size - 1)
+        return float((keys[pos] == tkeys).sum()) / float(self.nnz)
 
 
 def csr_from_dense(M: np.ndarray, tol: float = 0.0) -> CSR:

@@ -10,25 +10,39 @@
 
 #include "common.hpp"
 
+#include <chrono>
+#include <cstdio>
+
 namespace {
 
 struct Adj {
-  // per-id adjacency (step, value), chunk-free growable
-  std::vector<std::vector<i32>> steps;
-  std::vector<std::vector<double>> vals;
-  explicit Adj(i64 n) : steps(n), vals(n) {}
-  void add(i64 id, i32 step, double v) {
-    steps[id].push_back(step);
-    vals[id].push_back(v);
+  // per-id adjacency (step, value) as linked lists into one arena --
+  // single growing allocation instead of n vectors (allocation churn was
+  // the dominant cost of the first implementation)
+  std::vector<i32> head;
+  std::vector<i32> nxt;
+  std::vector<i32> steps;
+  std::vector<double> vals;
+  explicit Adj(i64 n, i64 reserve_nnz) : head(n, -1) {
+    nxt.reserve(reserve_nnz);
+    steps.reserve(reserve_nnz);
+    vals.reserve(reserve_nnz);
+  }
+  inline void add(i64 id, i32 step, double v) {
+    nxt.push_back(head[id]);
+    steps.push_back(step);
+    vals.push_back(v);
+    head[id] = (i32)(nxt.size() - 1);
   }
 };
 
 struct Result {
   i64 n = 0, m = 0;
-  // L_B (m x m CSR strict lower), U_B (m x m CSR strict upper), S ((n-m)^2)
-  std::vector<i64> Lp, Up, Sp;
-  std::vector<i32> Li, Ui, Si;
-  std::vector<double> Lv, Uv, Sv;
+  // L_B (m x m CSR strict lower), U_B (m x m CSR strict upper), S ((n-m)^2),
+  // E ((n-m) x m) and F (m x (n-m)) blocks of the permuted scaled matrix
+  std::vector<i64> Lp, Up, Sp, Ep, Fp;
+  std::vector<i32> Li, Ui, Si, Ei, Fi;
+  std::vector<double> Lv, Uv, Sv, Ev, Fv;
   std::vector<double> d;
   std::vector<i64> ord;      // final ordering: position -> id
   i64 stats[6] = {0, 0, 0, 0, 0, 0};  // defers, diag, cond, space, total, -
@@ -36,7 +50,8 @@ struct Result {
 
 // dual dropping on a scatter-accumulated sparse vector
 // (ref alg/thresholds.hpp:49,72); keeps ids[0..kept) (unsorted)
-inline i64 drop_vec(std::vector<i32> &ids, const double *buf, double tau,
+template <class Buf>
+inline i64 drop_vec(std::vector<i32> &ids, const Buf &buf, double tau,
                     double kap, double alpha, i64 nnz_ref, i64 &n_num,
                     i64 &n_space) {
   i64 sz = (i64)ids.size();
@@ -44,7 +59,7 @@ inline i64 drop_vec(std::vector<i32> &ids, const double *buf, double tau,
     const double coeff = tau / kap;
     i64 w = 0;
     for (i64 k = 0; k < sz; ++k)
-      if (std::fabs(buf[ids[k]]) > coeff) ids[w++] = ids[k];
+      if (std::fabs(buf[ids[k]].val) > coeff) ids[w++] = ids[k];
     n_num += sz - w;
     sz = w;
     ids.resize(sz);
@@ -55,7 +70,7 @@ inline i64 drop_vec(std::vector<i32> &ids, const double *buf, double tau,
     if (sz > cap) {
       std::nth_element(ids.begin(), ids.begin() + cap - 1, ids.end(),
                        [&](i32 a, i32 b) {
-                         return std::fabs(buf[a]) > std::fabs(buf[b]);
+                         return std::fabs(buf[a].val) > std::fabs(buf[b].val);
                        });
       n_space += sz - cap;
       sz = cap;
@@ -72,6 +87,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
                       double kappa, double tau_L, double tau_U, double alpha_L,
                       double alpha_U, const i64 *row_ref, const i64 *col_ref,
                       double schur_aL, double schur_aU) {
+  auto t_begin = std::chrono::steady_clock::now();
   auto *res = new Result();
   res->n = n;
 
@@ -83,17 +99,24 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
 
   std::vector<double> d(d0, d0 + m2);
   std::vector<unsigned char> status(n, 0);  // 0 pending 1 accepted 2 deferred
-  Adj rows_of_L(n), cols_of_U(n);
+  const i64 rsv = Ap[n] * 4 + 16;
+  Adj rows_of_L(n, rsv), cols_of_U(n, rsv);
 
-  // factor storage: per accepted step
+  // factor storage: per accepted step; Lend/Uend track the live region of
+  // each row -- consumed (accepted) entries are swapped to the tail so the
+  // hot scans only visit remaining entries (the reference gets the same
+  // effect from its advancing start positions, Crout.hpp:428)
   std::vector<i64> Lptr{0}, Uptr{0};
+  std::vector<i64> Lend, Uend;
   std::vector<i32> Lids, Uids;
   std::vector<double> Lvals, Uvals;
   std::vector<double> dvec, kap_u, kap_l;
   std::vector<i64> deferred;
 
-  std::vector<double> buf_u(n, 0.0), buf_l(n, 0.0);
-  std::vector<i64> tag_u(n, -1), tag_l(n, -1);
+  // packed tag+value workspaces: one cache line per scatter visit instead
+  // of two (this loop is cache-miss bound)
+  struct TV { i64 tag; double val; };
+  std::vector<TV> wu(n, TV{-1, 0.0}), wl(n, TV{-1, 0.0});
   std::vector<i32> ut_ids, l_ids;
 
   i64 step = 0;
@@ -109,18 +132,16 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     if (step) {
       // incremental inverse-norm estimates (ref Crout.hpp:486)
       double sum = 0.0;
+      for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.nxt[e])
+        sum += kap_u[cols_of_U.steps[e]] * cols_of_U.vals[e];
       {
-        const auto &js = cols_of_U.steps[idk];
-        const auto &vs = cols_of_U.vals[idk];
-        for (size_t k = 0; k < js.size(); ++k) sum += kap_u[js[k]] * vs[k];
         const double k1 = 1.0 - sum, k2 = -1.0 - sum;
         ku = std::fabs(k1) < std::fabs(k2) ? k2 : k1;
       }
       sum = 0.0;
+      for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.nxt[e])
+        sum += kap_l[rows_of_L.steps[e]] * rows_of_L.vals[e];
       {
-        const auto &js = rows_of_L.steps[idk];
-        const auto &vs = rows_of_L.vals[idk];
-        for (size_t k = 0; k < js.size(); ++k) sum += kap_l[js[k]] * vs[k];
         const double k1 = 1.0 - sum, k2 = -1.0 - sum;
         kl = std::fabs(k1) < std::fabs(k2) ? k2 : k1;
       }
@@ -137,28 +158,34 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     for (i64 k = Ap[idk]; k < Ap[idk + 1]; ++k) {
       const i32 c = Ai[k];
       if (status[c] != 1 && c != idk) {
-        buf_u[c] = Av[k];
-        tag_u[c] = step;
+        wu[c].val = Av[k];
+        wu[c].tag = step;
         ut_ids.push_back(c);
       }
     }
-    {
-      const auto &js = rows_of_L.steps[idk];
-      const auto &vs = rows_of_L.vals[idk];
-      for (size_t kk = 0; kk < js.size(); ++kk) {
-        const i32 j = js[kk];
-        const double ld = vs[kk] * dvec[j];
-        for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
-          const i32 c = Uids[k];
-          if (status[c] == 1 || c == idk) continue;
-          if (tag_u[c] != step) {
-            buf_u[c] = -ld * Uvals[k];
-            tag_u[c] = step;
+    for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.nxt[e]) {
+      const i32 j = rows_of_L.steps[e];
+      const double ld = rows_of_L.vals[e] * dvec[j];
+      i64 k = Uptr[j], end = Uend[j];
+      while (k < end) {
+        const i32 c = Uids[k];
+        if (status[c] == 1) {  // consumed: swap out of the live region
+          --end;
+          std::swap(Uids[k], Uids[end]);
+          std::swap(Uvals[k], Uvals[end]);
+          continue;
+        }
+        if (c != idk) {
+          if (wu[c].tag != step) {
+            wu[c].val = -ld * Uvals[k];
+            wu[c].tag = step;
             ut_ids.push_back(c);
           } else
-            buf_u[c] -= ld * Uvals[k];
+            wu[c].val -= ld * Uvals[k];
         }
+        ++k;
       }
+      Uend[j] = end;
     }
 
     // ---- compute l (ref Crout.hpp:271) ----
@@ -166,63 +193,71 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     for (i64 k = Cp[idk]; k < Cp[idk + 1]; ++k) {
       const i32 r = Ci[k];
       if (status[r] != 1 && r != idk) {
-        buf_l[r] = Cv[k];
-        tag_l[r] = step;
+        wl[r].val = Cv[k];
+        wl[r].tag = step;
         l_ids.push_back(r);
       }
     }
-    {
-      const auto &js = cols_of_U.steps[idk];
-      const auto &vs = cols_of_U.vals[idk];
-      for (size_t kk = 0; kk < js.size(); ++kk) {
-        const i32 j = js[kk];
-        const double du = dvec[j] * vs[kk];
-        for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
-          const i32 r = Lids[k];
-          if (status[r] == 1 || r == idk) continue;
-          if (tag_l[r] != step) {
-            buf_l[r] = -du * Lvals[k];
-            tag_l[r] = step;
+    for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.nxt[e]) {
+      const i32 j = cols_of_U.steps[e];
+      const double du = dvec[j] * cols_of_U.vals[e];
+      i64 k = Lptr[j], end = Lend[j];
+      while (k < end) {
+        const i32 r = Lids[k];
+        if (status[r] == 1) {
+          --end;
+          std::swap(Lids[k], Lids[end]);
+          std::swap(Lvals[k], Lvals[end]);
+          continue;
+        }
+        if (r != idk) {
+          if (wl[r].tag != step) {
+            wl[r].val = -du * Lvals[k];
+            wl[r].tag = step;
             l_ids.push_back(r);
           } else
-            buf_l[r] -= du * Lvals[k];
+            wl[r].val -= du * Lvals[k];
         }
+        ++k;
       }
+      Lend[j] = end;
     }
 
     // ---- scale ut, update trailing diag, scale l (ref factor.hpp:906-931)
     const double dk_inv = 1.0 / dk;
-    for (i32 c : ut_ids) buf_u[c] *= dk_inv;
+    for (i32 c : ut_ids) wu[c].val *= dk_inv;
     if (ut_ids.size() <= l_ids.size()) {
       for (i32 c : ut_ids)
-        if (c < m2 && status[c] == 0 && tag_l[c] == step)
-          d[c] -= buf_u[c] * buf_l[c];
+        if (c < m2 && status[c] == 0 && wl[c].tag == step)
+          d[c] -= wu[c].val * wl[c].val;
     } else {
       for (i32 c : l_ids)
-        if (c < m2 && status[c] == 0 && tag_u[c] == step)
-          d[c] -= buf_u[c] * buf_l[c];
+        if (c < m2 && status[c] == 0 && wu[c].tag == step)
+          d[c] -= wu[c].val * wl[c].val;
     }
-    for (i32 r : l_ids) buf_l[r] *= dk_inv;
+    for (i32 r : l_ids) wl[r].val *= dk_inv;
 
     // ---- dropping ----
     i64 nnum = 0, nsp = 0;
-    i64 kept = drop_vec(ut_ids, buf_u.data(), tau_U, std::fabs(ku) * kappa_d,
+    i64 kept = drop_vec(ut_ids, wu, tau_U, std::fabs(ku) * kappa_d,
                         alpha_U, row_ref[idk], nnum, nsp);
     for (i64 k = 0; k < kept; ++k) {
       Uids.push_back(ut_ids[k]);
-      Uvals.push_back(buf_u[ut_ids[k]]);
-      cols_of_U.add(ut_ids[k], (i32)step, buf_u[ut_ids[k]]);
+      Uvals.push_back(wu[ut_ids[k]].val);
+      cols_of_U.add(ut_ids[k], (i32)step, wu[ut_ids[k]].val);
     }
     Uptr.push_back((i64)Uids.size());
+    Uend.push_back((i64)Uids.size());
 
-    kept = drop_vec(l_ids, buf_l.data(), tau_L, std::fabs(kl) * kappa_d,
+    kept = drop_vec(l_ids, wl, tau_L, std::fabs(kl) * kappa_d,
                     alpha_L, col_ref[idk], nnum, nsp);
     for (i64 k = 0; k < kept; ++k) {
       Lids.push_back(l_ids[k]);
-      Lvals.push_back(buf_l[l_ids[k]]);
-      rows_of_L.add(l_ids[k], (i32)step, buf_l[l_ids[k]]);
+      Lvals.push_back(wl[l_ids[k]].val);
+      rows_of_L.add(l_ids[k], (i32)step, wl[l_ids[k]].val);
     }
     Lptr.push_back((i64)Lids.size());
+    Lend.push_back((i64)Lids.size());
     res->stats[4] += nnum + nsp;
     res->stats[3] += nsp;
 
@@ -234,6 +269,8 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   }
   const i64 m = step;
   res->m = m;
+  const bool prof = std::getenv("HT_PROFILE") != nullptr;
+  auto t_loop_end = std::chrono::steady_clock::now();
   res->stats[0] = (i64)deferred.size();
 
   // ---- final ordering and position map ----
@@ -244,6 +281,55 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   for (i64 id : deferred) res->ord.push_back(id);
   std::vector<i64> pos(n);
   for (i64 k = 0; k < n; ++k) pos[res->ord[k]] = k;
+  const i64 nm0 = n - m;
+
+  // ---- E / F blocks of Ahat in final ordering (ref extract_E/F,
+  // factor.hpp:185-368), assembled with counting sort, O(nnz) ----
+  {
+    res->Ep.assign(nm0 + 1, 0);
+    res->Fp.assign(m + 1, 0);
+    for (i64 prow = 0; prow < n; ++prow) {
+      const i64 arow = res->ord[prow];
+      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+        const i64 pc = pos[Ai[k]];
+        if (prow >= m && pc < m) ++res->Ep[prow - m + 1];
+        else if (prow < m && pc >= m) ++res->Fp[prow + 1];
+      }
+    }
+    for (i64 i = 0; i < nm0; ++i) res->Ep[i + 1] += res->Ep[i];
+    for (i64 i = 0; i < m; ++i) res->Fp[i + 1] += res->Fp[i];
+    res->Ei.resize(res->Ep[nm0]);
+    res->Ev.resize(res->Ep[nm0]);
+    res->Fi.resize(res->Fp[m]);
+    res->Fv.resize(res->Fp[m]);
+    std::vector<i64> ne(res->Ep.begin(), res->Ep.end() - 1);
+    std::vector<i64> nf(res->Fp.begin(), res->Fp.end() - 1);
+    std::vector<std::pair<i32, double>> rowbuf;
+    for (i64 prow = 0; prow < n; ++prow) {
+      const i64 arow = res->ord[prow];
+      rowbuf.clear();
+      const bool tailrow = prow >= m;
+      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+        const i64 pc = pos[Ai[k]];
+        if (tailrow && pc < m) rowbuf.push_back({(i32)pc, Av[k]});
+        else if (!tailrow && pc >= m) rowbuf.push_back({(i32)(pc - m), Av[k]});
+      }
+      std::sort(rowbuf.begin(), rowbuf.end());
+      if (tailrow) {
+        i64 &w = ne[prow - m];
+        for (auto &e : rowbuf) {
+          res->Ei[w] = e.first;
+          res->Ev[w++] = e.second;
+        }
+      } else {
+        i64 &w = nf[prow];
+        for (auto &e : rowbuf) {
+          res->Fi[w] = e.first;
+          res->Fv[w++] = e.second;
+        }
+      }
+    }
+  }
 
   // ---- split U rows into U_B (CSR, cols < m) and U_F^T rows; L columns into
   // L_B (transposed to CSR) and L_E rows ----
@@ -281,22 +367,19 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         }
       }
   }
-  // sort U_B rows by column
-  for (i64 j = 0; j < m; ++j) {
-    const i64 a = res->Up[j], b = res->Up[j + 1];
-    std::vector<i64> idx(b - a);
-    for (i64 k = 0; k < b - a; ++k) idx[k] = k;
-    std::sort(idx.begin(), idx.end(), [&](i64 x, i64 y) {
-      return res->Ui[a + x] < res->Ui[a + y];
-    });
-    std::vector<i32> ti(b - a);
-    std::vector<double> tv(b - a);
-    for (i64 k = 0; k < b - a; ++k) {
-      ti[k] = res->Ui[a + idx[k]];
-      tv[k] = res->Uv[a + idx[k]];
+  // sort U_B rows by column (reused pair scratch, no per-row allocation)
+  {
+    std::vector<std::pair<i32, double>> srt;
+    for (i64 j = 0; j < m; ++j) {
+      const i64 a = res->Up[j], b = res->Up[j + 1];
+      srt.clear();
+      for (i64 k = a; k < b; ++k) srt.push_back({res->Ui[k], res->Uv[k]});
+      std::sort(srt.begin(), srt.end());
+      for (i64 k = a; k < b; ++k) {
+        res->Ui[k] = srt[k - a].first;
+        res->Uv[k] = srt[k - a].second;
+      }
     }
-    std::copy(ti.begin(), ti.end(), res->Ui.begin() + a);
-    std::copy(tv.begin(), tv.end(), res->Uv.begin() + a);
   }
 
   // L columns -> split into L_B (m x m, want CSR) and L_E ((n-m) x m CSR)
@@ -346,26 +429,24 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       std::vector<double> nv;
       ni.reserve(LEi.size());
       nv.reserve(LEv.size());
-      std::vector<std::pair<double, i32>> tmp;
-      std::vector<double> vbuf;
+      std::vector<i64> idx;
       for (i64 i = 0; i < nm; ++i) {
         const i64 a = LEp[i], b = LEp[i + 1];
         i64 cap = (i64)std::ceil(schur_aL * (double)row_ref[res->ord[m + i]]);
         if (cap < 1) cap = 1;
         if (b - a > cap) {
-          std::vector<i64> idx(b - a);
+          idx.resize(b - a);
           for (i64 k = 0; k < b - a; ++k) idx[k] = a + k;
           std::nth_element(idx.begin(), idx.begin() + cap - 1, idx.end(),
                            [&](i64 x, i64 y) {
                              return std::fabs(LEv[x]) > std::fabs(LEv[y]);
                            });
-          idx.resize(cap);
-          std::sort(idx.begin(), idx.end(), [&](i64 x, i64 y) {
+          std::sort(idx.begin(), idx.begin() + cap, [&](i64 x, i64 y) {
             return LEi[x] < LEi[y];
           });
-          for (i64 x : idx) {
-            ni.push_back(LEi[x]);
-            nv.push_back(LEv[x]);
+          for (i64 kk = 0; kk < cap; ++kk) {
+            ni.push_back(LEi[idx[kk]]);
+            nv.push_back(LEv[idx[kk]]);
           }
         } else {
           for (i64 k = a; k < b; ++k) {
@@ -467,6 +548,16 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   }
   (void)dummy_num;
   (void)dummy_space;
+  if (prof) {
+    auto t_end = std::chrono::steady_clock::now();
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration<double, std::milli>(b - a).count();
+    };
+    std::fprintf(stderr,
+                 "[ht_crout] n=%lld m=%lld loop=%.0fms post=%.0fms\n",
+                 (long long)n, (long long)m, ms(t_begin, t_loop_end),
+                 ms(t_loop_end, t_end));
+  }
   return res;
 }
 
@@ -478,6 +569,8 @@ HT_API i64 ht_res_nnz(void *h, int what) {
     case 0: return (i64)r->Li.size();
     case 1: return (i64)r->Ui.size();
     case 2: return (i64)r->Si.size();
+    case 3: return (i64)r->Ei.size();
+    case 4: return (i64)r->Fi.size();
   }
   return -1;
 }
@@ -489,7 +582,9 @@ HT_API void ht_res_copy_mat(void *h, int what, i64 *indptr, i32 *indices,
   const std::vector<double> *v;
   if (what == 0) { p = &r->Lp; i = &r->Li; v = &r->Lv; }
   else if (what == 1) { p = &r->Up; i = &r->Ui; v = &r->Uv; }
-  else { p = &r->Sp; i = &r->Si; v = &r->Sv; }
+  else if (what == 2) { p = &r->Sp; i = &r->Si; v = &r->Sv; }
+  else if (what == 3) { p = &r->Ep; i = &r->Ei; v = &r->Ev; }
+  else { p = &r->Fp; i = &r->Fi; v = &r->Fv; }
   std::memcpy(indptr, p->data(), p->size() * sizeof(i64));
   if (!i->empty()) std::memcpy(indices, i->data(), i->size() * sizeof(i32));
   if (!v->empty()) std::memcpy(vals, v->data(), v->size() * sizeof(double));

@@ -134,10 +134,10 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
           schur_aL: float, schur_aU: float):
     """Native deferred-Crout level kernel + Schur.
 
-    Returns ``(m, L_B, U_B, S, d, ord_final, stats)`` with L_B/U_B/S as
-    ``(indptr, indices, vals)`` CSR triples; same semantics as
-    :func:`hifir_tpu.alg.crout_np.crout_level_np` plus the L_E/U_F dropping
-    and Schur formation fused in.
+    Returns ``(m, L_B, U_B, S, E, F, d, ord_final, stats)`` with the
+    matrices as ``(indptr, indices, vals)`` CSR triples; same semantics as
+    :func:`hifir_tpu.alg.crout_np.crout_level_np` plus the L_E/U_F dropping,
+    Schur formation and E/F block extraction fused in.
     """
     lib = _load()
     kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = pars
@@ -167,6 +167,8 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
         L = _mat(0, m)
         U = _mat(1, m)
         S = _mat(2, nm)
+        E = _mat(3, nm)
+        F = _mat(4, m)
         d = np.empty(m, dtype=np.float64)
         if m:
             lib.ht_res_copy_d(h, d)
@@ -176,7 +178,7 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
         lib.ht_res_copy_stats(h, stats)
     finally:
         lib.ht_res_free(h)
-    return m, L, U, S, d, ordf, stats
+    return m, L, U, S, E, F, d, ordf, stats
 
 
 def trsv(M, b: np.ndarray, lower: bool) -> Optional[np.ndarray]:
@@ -209,3 +211,31 @@ def trsv_levels(n: int, indptr: np.ndarray, indices: np.ndarray,
                        np.ascontiguousarray(indices, dtype=np.int32),
                        1 if lower else 0, lev)
     return lev
+
+
+def permute_scale(A, s: np.ndarray, t: np.ndarray, p: np.ndarray,
+                  q_inv: np.ndarray):
+    """Native Ahat = (diag(s) A diag(t))[p, q] with sorted rows; None if
+    unavailable."""
+    lib = _load()
+    if lib is None or A.data.dtype != np.float64:
+        return None
+    if not hasattr(lib, "_has_permute"):
+        lib._has_permute = _bind(
+            lib, "ht_permute_scale", None,
+            [ctypes.c_int64, _I64, _I32, _F64, _F64, _F64, _I64, _I64,
+             _I64, _I32, _F64])
+    if not lib._has_permute:
+        return None
+    n = A.nrows
+    Bp = np.empty(n + 1, dtype=np.int64)
+    Bi = np.empty(A.nnz, dtype=np.int32)
+    Bv = np.empty(A.nnz, dtype=np.float64)
+    lib.ht_permute_scale(
+        n, A.indptr, A.indices,
+        np.ascontiguousarray(A.data, dtype=np.float64),
+        np.ascontiguousarray(s, dtype=np.float64),
+        np.ascontiguousarray(t, dtype=np.float64),
+        np.ascontiguousarray(p, dtype=np.int64),
+        np.ascontiguousarray(q_inv, dtype=np.int64), Bp, Bi, Bv)
+    return Bp, Bi, Bv
