@@ -1,4 +1,6 @@
-"""Multi-device execution: mesh, sharded SpMV, distributed IR step."""
+"""Multi-device execution: mesh, sharded SpMV/IR, distributed trsv + M-solve."""
 from .mesh import make_mesh, P, Mesh
 from .sharded import (shard_ell_rows, sharded_spmv, make_sharded_ir_step,
                       pad_rows)
+from .trsv_sharded import ShardedTrsv, shard_trsv_schedule, sharded_trsv_apply
+from .prec_sharded import DistPrec
