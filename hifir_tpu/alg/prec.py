@@ -224,7 +224,11 @@ class DevicePrec:
 
     # -- construction -------------------------------------------------------
     @classmethod
-    def from_host(cls, precs, dtype=None, chunk: int = 256) -> "DevicePrec":
+    def from_host(cls, precs, dtype=None, chunk: int = 256,
+                  tail_on_device: bool = False) -> "DevicePrec":
+        """``tail_on_device`` refactorizes the dense tail with the jitted
+        device QRCP (small_scale/qrcp_device.py) instead of reusing the host
+        LAPACK factors — the fully LAPACK-free mode."""
         dtype = jnp.float64 if dtype is None else dtype
         levels = []
         for prec in precs:
@@ -244,7 +248,15 @@ class DevicePrec:
                 m=m, n=n))
         tail = None
         last = precs[-1]
-        if last.dense_solver is not None:
+        if tail_on_device and last.dense_matrix is not None:
+            from ..small_scale.qrcp_device import qrcp_device, qrcp_rank
+
+            Qd, Rd, pivd = qrcp_device(jnp.asarray(last.dense_matrix, dtype))
+            tail = DenseTail(Qd, Rd, pivd.astype(jnp.int32),
+                             jnp.zeros(last.dense_matrix.shape[0],
+                                       dtype=dtype),
+                             qrcp_rank(Rd), "qrcp")
+        elif last.dense_solver is not None:
             ds = last.dense_solver
             if ds.kind == "qrcp":
                 tail = DenseTail(jnp.asarray(ds.Q, dtype=dtype),
@@ -305,6 +317,23 @@ class DevicePrec:
                 raise RuntimeError("call pack_transpose() before trans solves")
             return self._solve_tran_jit(self.levels, self._tran, self.tail, b)
         return self._solve_jit(self.levels, self.tail, b)
+
+    def pack_prod(self, host_precs, dtype=None) -> None:
+        """Build forward-product operands (L_B/U_B as ELL)."""
+        dtype = jnp.float64 if dtype is None else dtype
+        self._prod = [
+            ProdLevel(Lell=sliced_ell_from_csr(hp.L_B, dtype=dtype),
+                      Uell=sliced_ell_from_csr(hp.U_B, dtype=dtype),
+                      q=jnp.asarray(hp.q, jnp.int32))
+            for hp in host_precs]
+        self._prod_jit = jax.jit(prec_prod_device)
+
+    def mmultiply(self, x):
+        """y = M x on device (jitted)."""
+        if getattr(self, "_prod", None) is None:
+            raise RuntimeError("call pack_prod() before device mmultiply")
+        return self._prod_jit(self.levels, self._prod, self.tail,
+                              jnp.asarray(x))
 
     def solve_mrhs(self, B):
         """X = M^{-1} B for B of shape (n, nrhs) — the batched fast path."""
@@ -372,3 +401,56 @@ def _tail_solve_mrhs(tail, Y):
     wv = tail.Q[:, :r].T.conj() @ Y
     Z = jax.scipy.linalg.solve_triangular(tail.R[:r, :r], wv, lower=False)
     return jnp.zeros_like(Y).at[tail.jpvt[:r]].set(Z, unique_indices=True)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ProdLevel:
+    """Forward-product operands of one level (L_B/U_B as ELL plus q)."""
+
+    Lell: SlicedELL
+    Uell: SlicedELL
+    q: jax.Array
+
+    def tree_flatten(self):
+        return ((self.Lell, self.Uell, self.q), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def prec_prod_device(levels, prods, tail, x):
+    """Forward product y = M x on device (ref ``alg/prec_prod.hpp:54``);
+    mirrors :func:`hifir_tpu.alg.prec_solve_np.prec_prod_np`."""
+    vs = []
+    cur = x
+    for lvl, pr in zip(levels, prods):
+        v = cur[pr.q] / lvl.t[pr.q]
+        vs.append(v)
+        cur = v[lvl.m:]
+    # bottom-up assembly
+    if tail is not None:
+        y_tail = tail_multiply(tail, cur)
+    else:
+        y_tail = cur
+    for lvl, pr, v in zip(reversed(levels), reversed(prods), reversed(vs)):
+        m = lvl.m
+        v1, v2 = v[:m], v[m:]
+
+        def bhat(z):
+            z = z + ell_matvec(pr.Uell, z)
+            z = lvl.d * z
+            return z + ell_matvec(pr.Lell, z)
+
+        if lvl.n - m:
+            Fv2 = ell_matvec(lvl.F, v2)
+            w = v1 + _ldu_solve(lvl, Fv2)
+            u2 = ell_matvec(lvl.E, w) + y_tail
+            u1 = bhat(v1) + Fv2
+            u = jnp.concatenate([u1, u2])
+        else:
+            u = bhat(v1)
+        out = jnp.zeros_like(u)
+        y_tail = out.at[lvl.p].set(u / lvl.s_p, unique_indices=True)
+    return y_tail

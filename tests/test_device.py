@@ -149,3 +149,39 @@ def test_device_ir_mixed_precision():
         x = x + dx.astype(np.float64)
     res = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
     assert res <= 1e-12
+
+
+def test_device_qrcp_factorization():
+    """Jitted device QRCP (small_scale/qrcp_device.py) vs host factors."""
+    from hifir_tpu.alg.prec import DevicePrec
+    from hifir_tpu.small_scale.qrcp_device import qrcp_device, qrcp_rank
+
+    rng = np.random.default_rng(0)
+    n = 40
+    U = rng.standard_normal((n, 25))
+    V = rng.standard_normal((25, n))
+    A = U @ V
+    Q, R, piv = qrcp_device(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(Q) @ np.asarray(R),
+                               A[:, np.asarray(piv)], atol=1e-10)
+    assert qrcp_rank(R) == 25
+
+    Am = saddle_point_stokes(8)
+    M = _factorized(Am)
+    if M.precs[-1].dense_matrix is None:
+        pytest.skip("no dense tail in this configuration")
+    dp1 = DevicePrec.from_host(M.precs)
+    dp2 = DevicePrec.from_host(M.precs, tail_on_device=True)
+    b = np.random.default_rng(1).standard_normal(Am.nrows)
+    np.testing.assert_allclose(np.asarray(dp2.solve(b)),
+                               np.asarray(dp1.solve(b)), atol=1e-10)
+
+
+def test_device_mmultiply():
+    A = convdiff2d(10)
+    M = _factorized(A)
+    dp = M.to_device()
+    dp.pack_prod(M.precs)
+    x = np.random.default_rng(2).standard_normal(A.nrows)
+    yd = np.asarray(dp.mmultiply(x))
+    np.testing.assert_allclose(yd, M.mmultiply(x), rtol=1e-10, atol=1e-12)
