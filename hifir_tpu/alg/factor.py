@@ -212,7 +212,7 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         pars = determine_fac_pars(opts, level)
         (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,
          nstats) = _native.crout(Ahat, d0, m2, pars, row_ref, col_ref,
-                                 a_L, a_U)
+                                 a_L, a_U, symmetric=bool(opts.is_symm))
         res = CroutResult(
             m=m, n=n,
             L_B=CSR(m, m, *Ltrip), d=dvec_n, U_B=CSR(m, m, *Utrip),

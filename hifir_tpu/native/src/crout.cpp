@@ -86,7 +86,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
                       const double *Av, const double *d0, double kappa_d,
                       double kappa, double tau_L, double tau_U, double alpha_L,
                       double alpha_U, const i64 *row_ref, const i64 *col_ref,
-                      double schur_aL, double schur_aU) {
+                      double schur_aL, double schur_aU, int symmetric) {
   auto t_begin = std::chrono::steady_clock::now();
   auto *res = new Result();
   res->n = n;
@@ -130,11 +130,12 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     }
     double ku = 1.0, kl = 1.0;
     if (step) {
-      // incremental inverse-norm estimates (ref Crout.hpp:486)
+      // incremental inverse-norm estimates (ref Crout.hpp:486); for the
+      // symmetric LDL^T kernel kappa_u == kappa_l (ref factor.hpp:818-820)
       double sum = 0.0;
-      for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.nxt[e])
-        sum += kap_u[cols_of_U.steps[e]] * cols_of_U.vals[e];
-      {
+      if (!symmetric) {
+        for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.nxt[e])
+          sum += kap_u[cols_of_U.steps[e]] * cols_of_U.vals[e];
         const double k1 = 1.0 - sum, k2 = -1.0 - sum;
         ku = std::fabs(k1) < std::fabs(k2) ? k2 : k1;
       }
@@ -145,6 +146,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         const double k1 = 1.0 - sum, k2 = -1.0 - sum;
         kl = std::fabs(k1) < std::fabs(k2) ? k2 : k1;
       }
+      if (symmetric) ku = kl;
     }
     if (std::fabs(ku) > kappa || std::fabs(kl) > kappa) {
       ++res->stats[2];
@@ -153,8 +155,9 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       continue;
     }
 
-    // ---- compute ut (ref Crout.hpp:169) ----
+    // ---- compute ut (ref Crout.hpp:169); skipped for LDL^T (U = L^T) ----
     ut_ids.clear();
+    if (!symmetric)
     for (i64 k = Ap[idk]; k < Ap[idk + 1]; ++k) {
       const i32 c = Ai[k];
       if (status[c] != 1 && c != idk) {
@@ -163,6 +166,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         ut_ids.push_back(c);
       }
     }
+    if (!symmetric)
     for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.nxt[e]) {
       const i32 j = rows_of_L.steps[e];
       const double ld = rows_of_L.vals[e] * dvec[j];
@@ -198,9 +202,12 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         l_ids.push_back(r);
       }
     }
-    for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.nxt[e]) {
-      const i32 j = cols_of_U.steps[e];
-      const double du = dvec[j] * cols_of_U.vals[e];
+    for (i32 e = symmetric ? rows_of_L.head[idk] : cols_of_U.head[idk];
+         e >= 0;
+         e = symmetric ? rows_of_L.nxt[e] : cols_of_U.nxt[e]) {
+      const i32 j = symmetric ? rows_of_L.steps[e] : cols_of_U.steps[e];
+      const double du =
+          dvec[j] * (symmetric ? rows_of_L.vals[e] : cols_of_U.vals[e]);
       i64 k = Lptr[j], end = Lend[j];
       while (k < end) {
         const i32 r = Lids[k];
@@ -225,6 +232,13 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
 
     // ---- scale ut, update trailing diag, scale l (ref factor.hpp:906-931)
     const double dk_inv = 1.0 / dk;
+    if (symmetric) {
+      for (i32 c : l_ids)
+        if (c < m2 && status[c] == 0)
+          d[c] -= wl[c].val * wl[c].val * dk_inv;
+      for (i32 r : l_ids) wl[r].val *= dk_inv;
+      // mirror for the dropping below: ut = l
+    } else {
     for (i32 c : ut_ids) wu[c].val *= dk_inv;
     if (ut_ids.size() <= l_ids.size()) {
       for (i32 c : ut_ids)
@@ -236,21 +250,24 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           d[c] -= wu[c].val * wl[c].val;
     }
     for (i32 r : l_ids) wl[r].val *= dk_inv;
+    }
 
     // ---- dropping ----
     i64 nnum = 0, nsp = 0;
-    i64 kept = drop_vec(ut_ids, wu, tau_U, std::fabs(ku) * kappa_d,
-                        alpha_U, row_ref[idk], nnum, nsp);
-    for (i64 k = 0; k < kept; ++k) {
-      Uids.push_back(ut_ids[k]);
-      Uvals.push_back(wu[ut_ids[k]].val);
-      cols_of_U.add(ut_ids[k], (i32)step, wu[ut_ids[k]].val);
+    if (!symmetric) {
+      i64 kept = drop_vec(ut_ids, wu, tau_U, std::fabs(ku) * kappa_d,
+                          alpha_U, row_ref[idk], nnum, nsp);
+      for (i64 k = 0; k < kept; ++k) {
+        Uids.push_back(ut_ids[k]);
+        Uvals.push_back(wu[ut_ids[k]].val);
+        cols_of_U.add(ut_ids[k], (i32)step, wu[ut_ids[k]].val);
+      }
+      Uptr.push_back((i64)Uids.size());
+      Uend.push_back((i64)Uids.size());
     }
-    Uptr.push_back((i64)Uids.size());
-    Uend.push_back((i64)Uids.size());
 
-    kept = drop_vec(l_ids, wl, tau_L, std::fabs(kl) * kappa_d,
-                    alpha_L, col_ref[idk], nnum, nsp);
+    i64 kept = drop_vec(l_ids, wl, tau_L, std::fabs(kl) * kappa_d,
+                        alpha_L, col_ref[idk], nnum, nsp);
     for (i64 k = 0; k < kept; ++k) {
       Lids.push_back(l_ids[k]);
       Lvals.push_back(wl[l_ids[k]].val);
@@ -258,6 +275,15 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     }
     Lptr.push_back((i64)Lids.size());
     Lend.push_back((i64)Lids.size());
+    if (symmetric) {
+      // mirror U row = kept l entries (U = L^T in LDL^T)
+      for (i64 k = 0; k < kept; ++k) {
+        Uids.push_back(l_ids[k]);
+        Uvals.push_back(wl[l_ids[k]].val);
+      }
+      Uptr.push_back((i64)Uids.size());
+      Uend.push_back((i64)Uids.size());
+    }
     res->stats[4] += nnum + nsp;
     res->stats[3] += nsp;
 

@@ -56,7 +56,7 @@ def _load() -> Optional[ctypes.CDLL]:
         [c, c, _I64, _I32, _F64, _F64,
          ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
          ctypes.c_double, ctypes.c_double, _I64, _I64,
-         ctypes.c_double, ctypes.c_double])
+         ctypes.c_double, ctypes.c_double, ctypes.c_int])
     if lib._has_crout:
         _bind(lib, "ht_res_m", c, [ctypes.c_void_p])
         _bind(lib, "ht_res_nnz", c, [ctypes.c_void_p, ctypes.c_int])
@@ -131,7 +131,7 @@ def rcm(n: int, indptr: np.ndarray, indices: np.ndarray) -> Optional[np.ndarray]
 def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
                                                      float, float, float],
           row_ref: np.ndarray, col_ref: np.ndarray,
-          schur_aL: float, schur_aU: float):
+          schur_aL: float, schur_aU: float, symmetric: bool = False):
     """Native deferred-Crout level kernel + Schur.
 
     Returns ``(m, L_B, U_B, S, E, F, d, ord_final, stats)`` with the
@@ -149,7 +149,7 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
         kappa_d, kappa, tau_L, tau_U, alpha_L, alpha_U,
         np.ascontiguousarray(row_ref, dtype=np.int64),
         np.ascontiguousarray(col_ref, dtype=np.int64),
-        schur_aL, schur_aU)
+        schur_aL, schur_aU, 1 if symmetric else 0)
     if not h:
         raise RuntimeError("native crout failed")
     try:
