@@ -22,6 +22,7 @@ reference, whose state is only exportable per level via
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -64,9 +65,10 @@ def tail_solve(tail, y, trans=False):
     r = tail.rank
     if r == 0:
         return jnp.zeros_like(y)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     if tail.kind == "syeig":
         Vr = tail.Q[:, :r]
-        return Vr @ ((Vr.T.conj() @ y) / tail.w[:r])
+        return mm(Vr, mm(Vr.T.conj(), y) / tail.w[:r])
     if tail.kind == "lup":
         L, U, pperm = tail.Q, tail.R, tail.jpvt
         if not trans:
@@ -79,23 +81,24 @@ def tail_solve(tail, y, trans=False):
         return jnp.zeros_like(y).at[pperm].set(z, unique_indices=True)
     # qrcp
     if not trans:
-        wv = tail.Q[:, :r].T.conj() @ y
+        wv = mm(tail.Q[:, :r].T.conj(), y)
         z = jax.scipy.linalg.solve_triangular(tail.R[:r, :r], wv, lower=False)
         return jnp.zeros_like(y).at[tail.jpvt[:r]].set(z, unique_indices=True)
     wv = y[tail.jpvt[:r]]
     z = jax.scipy.linalg.solve_triangular(tail.R[:r, :r], wv, lower=False,
                                           trans=2)
-    return tail.Q[:, :r] @ z
+    return mm(tail.Q[:, :r], z)
 
 
 def tail_multiply(tail, x, trans=False):
     """Forward product of the dense tail (for mmultiply)."""
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     if tail.kind == "syeig":
-        return tail.Q @ (tail.w * (tail.Q.T.conj() @ x))
+        return mm(tail.Q, tail.w * mm(tail.Q.T.conj(), x))
     if not trans:
-        return tail.Q @ (tail.R @ x[tail.jpvt])
+        return mm(tail.Q, mm(tail.R, x[tail.jpvt]))
     return jnp.zeros_like(x).at[tail.jpvt].set(
-        tail.R.T.conj() @ (tail.Q.T.conj() @ x), unique_indices=True)
+        mm(tail.R.T.conj(), mm(tail.Q.T.conj(), x)), unique_indices=True)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -392,13 +395,17 @@ def _tail_solve_mrhs(tail, Y):
     r = tail.rank
     if tail.kind == "syeig":
         Vr = tail.Q[:, :r]
-        return Vr @ ((Vr.T.conj() @ Y) / tail.w[:r, None])
+        return jnp.matmul(Vr, jnp.matmul(Vr.T.conj(), Y,
+                                         precision=jax.lax.Precision.HIGHEST)
+                          / tail.w[:r, None],
+                          precision=jax.lax.Precision.HIGHEST)
     if tail.kind == "lup":
         L, U, pperm = tail.Q, tail.R, tail.jpvt
         Z = jax.scipy.linalg.solve_triangular(L, Y[pperm], lower=True,
                                               unit_diagonal=True)
         return jax.scipy.linalg.solve_triangular(U, Z, lower=False)
-    wv = tail.Q[:, :r].T.conj() @ Y
+    wv = jnp.matmul(tail.Q[:, :r].T.conj(), Y,
+                    precision=jax.lax.Precision.HIGHEST)
     Z = jax.scipy.linalg.solve_triangular(tail.R[:r, :r], wv, lower=False)
     return jnp.zeros_like(Y).at[tail.jpvt[:r]].set(Z, unique_indices=True)
 
