@@ -282,6 +282,12 @@ class CSR:
         (ref ``compute_pattern_symm_ratio``, ``alg/factor.hpp:507``)."""
         if self.nnz == 0:
             return 1.0
+        if self.nrows == self.ncols:
+            from ..pre import _native
+
+            r = _native.pattern_symm(self.nrows, self.indptr, self.indices)
+            if r is not None:
+                return r
         # membership of transposed positions in the (globally sorted)
         # row-major key sequence -- O(nnz log nnz), no products built
         rows = np.repeat(np.arange(self.nrows, dtype=np.int64),

@@ -239,3 +239,39 @@ def permute_scale(A, s: np.ndarray, t: np.ndarray, p: np.ndarray,
         np.ascontiguousarray(p, dtype=np.int64),
         np.ascontiguousarray(q_inv, dtype=np.int64), Bp, Bi, Bv)
     return Bp, Bi, Bv
+
+
+def pattern_symm(n: int, indptr: np.ndarray, indices: np.ndarray):
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_has_psym"):
+        lib._has_psym = _bind(lib, "ht_pattern_symm", ctypes.c_double,
+                              [ctypes.c_int64, _I64, _I32])
+    if not lib._has_psym:
+        return None
+    return float(lib.ht_pattern_symm(
+        n, np.ascontiguousarray(indptr, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.int32)))
+
+
+def defer_probe(A, m0: int, p: np.ndarray, q: np.ndarray):
+    """Native (diag, max-magnitude) probe for static deferral; None if
+    unavailable."""
+    lib = _load()
+    if lib is None or A.data.dtype != np.float64:
+        return None
+    if not hasattr(lib, "_has_probe"):
+        lib._has_probe = _bind(
+            lib, "ht_defer_probe", None,
+            [ctypes.c_int64, _I64, _I32, _F64, ctypes.c_int64, _I64, _I64,
+             _F64, _F64])
+    if not lib._has_probe:
+        return None
+    diag = np.empty(m0, dtype=np.float64)
+    mx = np.empty(m0, dtype=np.float64)
+    lib.ht_defer_probe(A.nrows, A.indptr, A.indices,
+                       np.ascontiguousarray(A.data, dtype=np.float64), m0,
+                       np.ascontiguousarray(p, dtype=np.int64),
+                       np.ascontiguousarray(q, dtype=np.int64), diag, mx)
+    return diag, mx

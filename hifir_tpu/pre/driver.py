@@ -53,22 +53,28 @@ def defer_tiny_diags(A: CSR, m0: int, p: np.ndarray, q: np.ndarray
     n = A.nrows
     if m0 == 0:
         return 0, p, q
-    absS = A.to_scipy().copy()
-    absS.data = np.abs(absS.data)
-    rowmax = np.asarray(absS.max(axis=1).todense()).ravel()
-    colmax = np.asarray(absS.max(axis=0).todense()).ravel()
-    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    from . import _native
 
-    # vectorized lookup of A[p_i, q_i]: CSR entries in row-major key order are
-    # globally sorted, so one searchsorted answers all m0 queries
-    keys = rows * np.int64(A.ncols) + A.indices.astype(np.int64)
-    queries = p[:m0] * np.int64(A.ncols) + q[:m0]
-    pos = np.searchsorted(keys, queries)
-    pos_c = np.minimum(pos, keys.size - 1)
-    hit = (keys.size > 0) & (keys[pos_c] == queries)
-    diag = np.where(hit, A.data[pos_c], 0.0)
-    mx = np.maximum(rowmax[p[:m0]], colmax[q[:m0]])
-    mx[mx == 0.0] = 1.0
+    probe = _native.defer_probe(A, m0, p, q) \
+        if A.data.dtype == np.float64 else None
+    if probe is not None:
+        diag, mx = probe
+    else:
+        absS = A.to_scipy().copy()
+        absS.data = np.abs(absS.data)
+        rowmax = np.asarray(absS.max(axis=1).todense()).ravel()
+        colmax = np.asarray(absS.max(axis=0).todense()).ravel()
+        rows = np.repeat(np.arange(n), np.diff(A.indptr))
+        # vectorized lookup of A[p_i, q_i]: CSR entries in row-major key order
+        # are globally sorted, so one searchsorted answers all m0 queries
+        keys = rows * np.int64(A.ncols) + A.indices.astype(np.int64)
+        queries = p[:m0] * np.int64(A.ncols) + q[:m0]
+        pos = np.searchsorted(keys, queries)
+        pos_c = np.minimum(pos, keys.size - 1)
+        hit = (keys.size > 0) & (keys[pos_c] == queries)
+        diag = np.where(hit, A.data[pos_c], 0.0)
+        mx = np.maximum(rowmax[p[:m0]], colmax[q[:m0]])
+        mx[mx == 0.0] = 1.0
     good = np.abs(diag) > mx * _EPS
     m = int(good.sum())
     order = np.concatenate([np.flatnonzero(good), np.flatnonzero(~good)])
