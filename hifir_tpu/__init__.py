@@ -13,3 +13,5 @@ from .options import (Options, Params, get_default_options,
                       VERBOSE_NONE, VERBOSE_INFO, VERBOSE_PRE, VERBOSE_FAC,
                       VERBOSE_PRE_TIME, VERBOSE_MEM, VERBOSE_INFO2)
 from .ds import CSR
+from .api import HIF
+from .nsp import NspFilter

@@ -189,3 +189,52 @@ def test_pivoting_dropped_ilu():
     x, iters, flag = M.hifir(A, b, 100, betas=(1e-10, 1e8))
     assert flag == 0
     assert np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b) <= 1e-10
+
+
+@pytest.mark.parametrize("kind", ["diag", "tiny", "one", "denserow"])
+def test_edge_cases(kind):
+    """Degenerate inputs must factorize and solve."""
+    from hifir_tpu.ds.csr import csr_from_dense
+
+    rng = np.random.default_rng(0)
+    if kind == "diag":
+        D = np.diag(rng.random(30) + 1.0)
+    elif kind == "tiny":
+        D = np.array([[2.0, 1.0], [1.0, 3.0]])
+    elif kind == "one":
+        D = np.array([[4.0]])
+    else:
+        D = np.diag(rng.random(40) + 1.0)
+        D[0, :] = rng.standard_normal(40)  # one dense row
+        D[0, 0] = 50.0
+    A = csr_from_dense(D)
+    M = HIF().factorize(A, Options(verbose=0, dense_thres=0))
+    b = rng.standard_normal(A.nrows)
+    x = M.solve(b)
+    xd = np.linalg.solve(D, b)
+    np.testing.assert_allclose(x, xd, atol=1e-7 * max(1.0, np.abs(xd).max()))
+
+
+def test_singular_pseudoinverse_accuracy():
+    """epsilon-accurate pseudoinverse on a singular system: HIFIR solution
+    must match the least-norm solution (BASELINE config 4)."""
+    from hifir_tpu.ds.csr import csr_from_dense
+    from hifir_tpu.nsp import NspFilter
+
+    rng = np.random.default_rng(5)
+    n = 40
+    # rank-deficient symmetric system with known null space (constants)
+    B = rng.standard_normal((n, n))
+    D = B @ B.T
+    D -= np.outer(D.sum(1), np.ones(n)) / n  # rows sum to 0
+    D -= np.outer(np.ones(n), D.sum(0)) / n  # cols sum to 0
+    A = csr_from_dense(D, tol=1e-14)
+    b = rng.standard_normal(n)
+    b -= b.mean()
+    M = HIF().factorize(A, Options(verbose=0, dense_thres=50))
+    M.nsp = NspFilter()
+    x, iters, flag = M.hifir(A, b, 500, betas=(1e-10, 1e6))
+    x_star = np.linalg.pinv(D) @ b
+    res = np.linalg.norm(b - D @ x) / np.linalg.norm(b)
+    assert res <= 1e-8
+    np.testing.assert_allclose(x, x_star, atol=1e-6 * np.abs(x_star).max())
