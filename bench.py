@@ -56,12 +56,13 @@ def main():
     # --- host baseline: serial single-RHS M-solve (native C++ kernels) -----
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n)
-    M.solve(b)  # warm
-    t0 = time.time()
-    reps = 5
-    for _ in range(reps):
+    xh = M.solve(b)  # warm
+    times = []
+    for _ in range(7):
+        t0 = time.time()
         xh = M.solve(b)
-    host_per_rhs = (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    host_per_rhs = min(times)  # min is robust to scheduler noise
     host_thr = nnz_m / host_per_rhs
     log(f"host M-solve: {host_per_rhs * 1e3:.2f} ms/RHS "
         f"({host_thr / 1e6:.1f} Mnnz/s)")
@@ -71,12 +72,13 @@ def main():
     B = jnp.asarray(rng.standard_normal((n, NRHS)), jnp.float32)
     X = dp.solve_mrhs(B)
     float(jnp.sum(X))  # sync (block_until_ready is unreliable on the tunnel)
-    t0 = time.time()
-    reps = 5
-    for _ in range(reps):
+    times = []
+    for _ in range(7):
+        t0 = time.time()
         X = dp.solve_mrhs(B)
         float(jnp.sum(X))
-    tpu_total = (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    tpu_total = min(times)
     tpu_per_rhs = tpu_total / NRHS
     tpu_thr = nnz_m / tpu_per_rhs
     log(f"TPU M-solve mrhs={NRHS} f32: {tpu_total * 1e3:.1f} ms total, "
