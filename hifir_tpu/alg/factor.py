@@ -157,8 +157,11 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         np.maximum(col_sizes, lower_col, out=col_sizes)
 
     # --- preprocessing ------------------------------------------------------
+    hif_info(opts, "\nenter level %d (%s)", level,
+             "symmetric" if do_symm_pre else "asymmetric")
     if not opts.no_pre:
         s, t, p, q, m = do_preprocessing(A, m0, level, opts, do_symm_pre)
+        hif_info(opts, "preprocessing done with leading block size %d", m)
     else:
         s = np.ones(n)
         t = np.ones(n)
@@ -311,6 +314,12 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
                 or int(math.ceil(nm * nm * opts.rho)) <= dense_thres1
                 or nm <= dense_thres2 or not m)
 
+    hif_info(opts, "level %d: m=%d/%d, defers=%d (diag %d, cond %d), "
+                   "drops=%d (space %d), nnz(L_B)=%d nnz(U_B)=%d, "
+                   "nnz(S)=%d%s", level, m, m2, res.defers, res.diag_defers,
+             res.cond_defers, res.total_drops, res.space_drops,
+             L_B.nnz, U_B.nnz, 0 if S is None else S.nnz,
+             ", dense tail" if to_dense and nm else "")
     p_inv = np.empty(n, dtype=np.int64)
     p_inv[p_out] = np.arange(n)
     q_inv = np.empty(n, dtype=np.int64)
