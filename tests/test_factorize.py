@@ -238,3 +238,22 @@ def test_singular_pseudoinverse_accuracy():
     res = np.linalg.norm(b - D @ x) / np.linalg.norm(b)
     assert res <= 1e-8
     np.testing.assert_allclose(x, x_star, atol=1e-6 * np.abs(x_star).max())
+
+
+def test_auto_pivot_retry():
+    """All-zero diagonal without preprocessing: the non-pivoting kernel
+    defers everything (post_flag=2) and PIVOTING_AUTO must retry the level
+    with rook pivoting (ref builder.hpp:552-567)."""
+    from hifir_tpu.ds.csr import csr_from_dense
+
+    rng = np.random.default_rng(0)
+    n = 60
+    D = rng.standard_normal((n, n))
+    np.fill_diagonal(D, 0.0)
+    A = csr_from_dense(D)
+    opts = complete_opts(no_pre=1, dense_thres=0)  # pivot defaults to AUTO
+    M = HIF().factorize(A, opts)
+    b = rng.standard_normal(n)
+    x = M.solve(b)
+    xd = np.linalg.solve(D, b)
+    np.testing.assert_allclose(x, xd, atol=1e-9 * np.abs(xd).max())
