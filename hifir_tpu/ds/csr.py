@@ -9,7 +9,7 @@ of a dual CCS class.  The augmented linked-list storage
 (``ds/AugmentedStorage.hpp``) is not reproduced: the factorization kernels use
 a stable-id dual-adjacency design instead (see ``hifir_tpu/alg``).
 
-Device-side (padded/ELL pytree) forms live in :mod:`hifir_tpu.ds.pytree`.
+Device-side (padded/sliced-ELL) forms live in :mod:`hifir_tpu.ops.spmv`.
 """
 
 from __future__ import annotations

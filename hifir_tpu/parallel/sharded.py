@@ -18,7 +18,6 @@ next step (see ROADMAP in README).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
