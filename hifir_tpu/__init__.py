@@ -10,7 +10,7 @@ from .version import __version__, version
 from .options import (Options, Params, get_default_options,
                       REORDER_OFF, REORDER_AUTO, REORDER_AMD, REORDER_RCM,
                       PIVOTING_OFF, PIVOTING_ON, PIVOTING_AUTO,
-                      VERBOSE_NONE, VERBOSE_INFO, VERBOSE_PRE, VERBOSE_FAC,
+                      VERBOSE_NONE, VERBOSE_WARN, VERBOSE_INFO, VERBOSE_PRE, VERBOSE_FAC,
                       VERBOSE_PRE_TIME, VERBOSE_MEM, VERBOSE_INFO2)
 from .ds import CSR
 from .api import HIF

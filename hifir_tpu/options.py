@@ -17,6 +17,7 @@ __all__ = [
     "Options",
     "Params",
     "VERBOSE_NONE",
+    "VERBOSE_WARN",
     "VERBOSE_INFO",
     "VERBOSE_PRE",
     "VERBOSE_FAC",
@@ -38,14 +39,13 @@ __all__ = [
 # verbose bitmask (ref: Options.h:46-55)
 # ---------------------------------------------------------------------------
 VERBOSE_NONE = 0
-VERBOSE_INFO = 1
-VERBOSE_PRE = 2
-VERBOSE_FAC = 4
-VERBOSE_PRE_TIME = 8
-VERBOSE_MEM = 16
-VERBOSE_INFO2 = 32
-# WARN level: warnings are always printed unless verbose < 0 (mirrors the
-# reference behavior where warnings go through a separate channel).
+VERBOSE_WARN = 1
+VERBOSE_INFO = 2
+VERBOSE_PRE = 4
+VERBOSE_FAC = 8
+VERBOSE_PRE_TIME = 16
+VERBOSE_MEM = 32
+VERBOSE_INFO2 = 64
 
 # reorder enum (ref: Options.h:57-63)
 REORDER_OFF = 0
@@ -79,7 +79,7 @@ class Options:
     c_d: float = 10.0         # size parameter for dense last level
     c_h: float = 2.0          # size parameter for H-version
     N: int = -1               # reference size (-1 => system size)
-    verbose: int = 1          # message output bitmask (1 == warn-ish info)
+    verbose: int = 1          # message output bitmask (1 == VERBOSE_WARN)
     rf_par: int = 1           # level-based parameter refinement on/off
     reorder: int = REORDER_AMD
     spd: int = 0              # 0 indefinite, >0 PD, <0 ND

@@ -19,6 +19,7 @@ from ..options import (
     VERBOSE_NONE,
     VERBOSE_PRE,
     VERBOSE_PRE_TIME,
+    VERBOSE_WARN,
 )
 
 __all__ = [
@@ -36,6 +37,7 @@ class HifError(RuntimeError):
 
 
 _LEVELS = {
+    "warn": VERBOSE_WARN,
     "info": VERBOSE_INFO,
     "pre": VERBOSE_PRE,
     "fac": VERBOSE_FAC,
