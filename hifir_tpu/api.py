@@ -138,6 +138,21 @@ class HIF:
                  self.nnz() / max(input_nnz, 1), self.levels(), t.time())
         return self
 
+    def factorize_raw(self, n: int, indptr, indices, vals,
+                      params: Optional[Options] = None, m0: int = 0) -> "HIF":
+        """POD-pointer style factorize (ref builder.hpp:386-399): accepts
+        {0,1}-based CSR arrays of any integer/float width."""
+        indptr = np.asarray(indptr)
+        indices = np.asarray(indices)
+        vals = np.asarray(vals)
+        if n and indptr[0] == 1:  # 1-based input normalization
+            indptr = indptr - 1
+            indices = indices - 1
+        elif n and indptr[0] != 0:
+            hif_error("only {0,1}-based compressed matrices are supported")
+        A = CSR(n, n, indptr, indices, vals)
+        return self.factorize(A, params, m0)
+
     # -- applications -------------------------------------------------------
     def solve(self, b: np.ndarray, trans: bool = False, r: int = 0
               ) -> np.ndarray:
