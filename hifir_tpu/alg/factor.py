@@ -203,8 +203,10 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     from ..options import PIVOTING_ON
 
     use_pivot = force_pivot or opts.pivot == PIVOTING_ON
-    use_native = (not use_pivot and opts.use_native and _native.has_crout()
-                  and Ahat.data.dtype == np.float64)
+    use_native = (not use_pivot and opts.use_native
+                  and ((Ahat.data.dtype == np.float64 and _native.has_crout())
+                       or (Ahat.data.dtype == np.complex128
+                           and _native.has_crout_z())))
     S_native = None
     EF_native = None
     if use_pivot:

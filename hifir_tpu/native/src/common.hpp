@@ -35,10 +35,11 @@ struct CsrBuf {
 };
 
 // transpose a CSR (nrows x ncols) into CSC arrays (per-column rows)
+template <class VT>
 inline void transpose_csr(i64 nrows, i64 ncols, const i64 *indptr,
-                          const i32 *indices, const double *vals,
+                          const i32 *indices, const VT *vals,
                           std::vector<i64> &cptr, std::vector<i32> &crow,
-                          std::vector<double> &cval) {
+                          std::vector<VT> &cval) {
   const i64 nnz = indptr[nrows];
   cptr.assign(ncols + 1, 0);
   for (i64 k = 0; k < nnz; ++k) ++cptr[indices[k] + 1];

@@ -11,10 +11,13 @@
 #include "common.hpp"
 
 #include <chrono>
+#include <complex>
 #include <cstdio>
+#include <type_traits>
 
 namespace {
 
+template <class VT>
 struct Adj {
   // per-id adjacency (step, value) as linked lists into one arena --
   // single growing allocation instead of n vectors (allocation churn was
@@ -22,13 +25,13 @@ struct Adj {
   std::vector<i32> head;
   std::vector<i32> nxt;
   std::vector<i32> steps;
-  std::vector<double> vals;
+  std::vector<VT> vals;
   explicit Adj(i64 n, i64 reserve_nnz) : head(n, -1) {
     nxt.reserve(reserve_nnz);
     steps.reserve(reserve_nnz);
     vals.reserve(reserve_nnz);
   }
-  inline void add(i64 id, i32 step, double v) {
+  inline void add(i64 id, i32 step, VT v) {
     nxt.push_back(head[id]);
     steps.push_back(step);
     vals.push_back(v);
@@ -36,14 +39,22 @@ struct Adj {
   }
 };
 
+// common initial layout for type dispatch in the C accessors
+struct ResHead {
+  int is_complex;
+  i64 n, m;
+};
+
+template <class VT>
 struct Result {
+  int is_complex = std::is_same<VT, std::complex<double>>::value;
   i64 n = 0, m = 0;
   // L_B (m x m CSR strict lower), U_B (m x m CSR strict upper), S ((n-m)^2),
   // E ((n-m) x m) and F (m x (n-m)) blocks of the permuted scaled matrix
   std::vector<i64> Lp, Up, Sp, Ep, Fp;
   std::vector<i32> Li, Ui, Si, Ei, Fi;
-  std::vector<double> Lv, Uv, Sv, Ev, Fv;
-  std::vector<double> d;
+  std::vector<VT> Lv, Uv, Sv, Ev, Fv;
+  std::vector<VT> d;
   std::vector<i64> ord;      // final ordering: position -> id
   i64 stats[6] = {0, 0, 0, 0, 0, 0};  // defers, diag, cond, space, total, -
 };
@@ -59,7 +70,7 @@ inline i64 drop_vec(std::vector<i32> &ids, const Buf &buf, double tau,
     const double coeff = tau / kap;
     i64 w = 0;
     for (i64 k = 0; k < sz; ++k)
-      if (std::fabs(buf[ids[k]].val) > coeff) ids[w++] = ids[k];
+      if (std::abs(buf[ids[k]].val) > coeff) ids[w++] = ids[k];
     n_num += sz - w;
     sz = w;
     ids.resize(sz);
@@ -70,7 +81,7 @@ inline i64 drop_vec(std::vector<i32> &ids, const Buf &buf, double tau,
     if (sz > cap) {
       std::nth_element(ids.begin(), ids.begin() + cap - 1, ids.end(),
                        [&](i32 a, i32 b) {
-                         return std::fabs(buf[a].val) > std::fabs(buf[b].val);
+                         return std::abs(buf[a].val) > std::abs(buf[b].val);
                        });
       n_space += sz - cap;
       sz = cap;
@@ -82,25 +93,31 @@ inline i64 drop_vec(std::vector<i32> &ids, const Buf &buf, double tau,
 
 }  // namespace
 
-HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
-                      const double *Av, const double *d0, double kappa_d,
-                      double kappa, double tau_L, double tau_U, double alpha_L,
-                      double alpha_U, const i64 *row_ref, const i64 *col_ref,
-                      double schur_aL, double schur_aU, int symmetric) {
+namespace {
+
+template <class VT>
+void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                 const VT *Av, const VT *d0, double kappa_d,
+                 double kappa, double tau_L, double tau_U, double alpha_L,
+                 double alpha_U, const i64 *row_ref, const i64 *col_ref,
+                 double schur_aL, double schur_aU, int symmetric) {
+  using LD = typename std::conditional<
+      std::is_same<VT, std::complex<double>>::value,
+      std::complex<long double>, long double>::type;
   auto t_begin = std::chrono::steady_clock::now();
-  auto *res = new Result();
+  auto *res = new Result<VT>();
   res->n = n;
 
   // CSC of Ahat
   std::vector<i64> Cp;
   std::vector<i32> Ci;
-  std::vector<double> Cv;
+  std::vector<VT> Cv;
   ht::transpose_csr(n, n, Ap, Ai, Av, Cp, Ci, Cv);
 
-  std::vector<double> d(d0, d0 + m2);
+  std::vector<VT> d(d0, d0 + m2);
   std::vector<unsigned char> status(n, 0);  // 0 pending 1 accepted 2 deferred
   const i64 rsv = Ap[n] * 4 + 16;
-  Adj rows_of_L(n, rsv), cols_of_U(n, rsv);
+  Adj<VT> rows_of_L(n, rsv), cols_of_U(n, rsv);
 
   // factor storage: per accepted step; Lend/Uend track the live region of
   // each row -- consumed (accepted) entries are swapped to the tail so the
@@ -109,46 +126,46 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   std::vector<i64> Lptr{0}, Uptr{0};
   std::vector<i64> Lend, Uend;
   std::vector<i32> Lids, Uids;
-  std::vector<double> Lvals, Uvals;
-  std::vector<double> dvec, kap_u, kap_l;
+  std::vector<VT> Lvals, Uvals;
+  std::vector<VT> dvec, kap_u, kap_l;
   std::vector<i64> deferred;
 
   // packed tag+value workspaces: one cache line per scatter visit instead
   // of two (this loop is cache-miss bound)
-  struct TV { i64 tag; double val; };
-  std::vector<TV> wu(n, TV{-1, 0.0}), wl(n, TV{-1, 0.0});
+  struct TV { i64 tag; VT val; };
+  std::vector<TV> wu(n, TV{-1, VT(0.0)}), wl(n, TV{-1, VT(0.0)});
   std::vector<i32> ut_ids, l_ids;
 
   i64 step = 0;
   for (i64 idk = 0; idk < m2; ++idk) {
-    const double dk = d[idk];
-    if (dk == 0.0 || std::fabs(1.0 / dk) > kappa_d) {
+    const VT dk = d[idk];
+    if (dk == VT(0.0) || std::abs(VT(1.0) / dk) > kappa_d) {
       ++res->stats[1];
       status[idk] = 2;
       deferred.push_back(idk);
       continue;
     }
-    double ku = 1.0, kl = 1.0;
+    VT ku = VT(1.0), kl = VT(1.0);
     if (step) {
       // incremental inverse-norm estimates (ref Crout.hpp:486); for the
       // symmetric LDL^T kernel kappa_u == kappa_l (ref factor.hpp:818-820)
-      double sum = 0.0;
+      VT sum = VT(0.0);
       if (!symmetric) {
         for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.nxt[e])
           sum += kap_u[cols_of_U.steps[e]] * cols_of_U.vals[e];
-        const double k1 = 1.0 - sum, k2 = -1.0 - sum;
-        ku = std::fabs(k1) < std::fabs(k2) ? k2 : k1;
+        const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
+        ku = std::abs(k1) < std::abs(k2) ? k2 : k1;
       }
-      sum = 0.0;
+      sum = VT(0.0);
       for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.nxt[e])
         sum += kap_l[rows_of_L.steps[e]] * rows_of_L.vals[e];
       {
-        const double k1 = 1.0 - sum, k2 = -1.0 - sum;
-        kl = std::fabs(k1) < std::fabs(k2) ? k2 : k1;
+        const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
+        kl = std::abs(k1) < std::abs(k2) ? k2 : k1;
       }
       if (symmetric) ku = kl;
     }
-    if (std::fabs(ku) > kappa || std::fabs(kl) > kappa) {
+    if (std::abs(ku) > kappa || std::abs(kl) > kappa) {
       ++res->stats[2];
       status[idk] = 2;
       deferred.push_back(idk);
@@ -169,7 +186,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     if (!symmetric)
     for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.nxt[e]) {
       const i32 j = rows_of_L.steps[e];
-      const double ld = rows_of_L.vals[e] * dvec[j];
+      const VT ld = rows_of_L.vals[e] * dvec[j];
       i64 k = Uptr[j], end = Uend[j];
       while (k < end) {
         const i32 c = Uids[k];
@@ -206,7 +223,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
          e >= 0;
          e = symmetric ? rows_of_L.nxt[e] : cols_of_U.nxt[e]) {
       const i32 j = symmetric ? rows_of_L.steps[e] : cols_of_U.steps[e];
-      const double du =
+      const VT du =
           dvec[j] * (symmetric ? rows_of_L.vals[e] : cols_of_U.vals[e]);
       i64 k = Lptr[j], end = Lend[j];
       while (k < end) {
@@ -231,7 +248,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     }
 
     // ---- scale ut, update trailing diag, scale l (ref factor.hpp:906-931)
-    const double dk_inv = 1.0 / dk;
+    const VT dk_inv = VT(1.0) / dk;
     if (symmetric) {
       for (i32 c : l_ids)
         if (c < m2 && status[c] == 0)
@@ -255,7 +272,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     // ---- dropping ----
     i64 nnum = 0, nsp = 0;
     if (!symmetric) {
-      i64 kept = drop_vec(ut_ids, wu, tau_U, std::fabs(ku) * kappa_d,
+      i64 kept = drop_vec(ut_ids, wu, tau_U, std::abs(ku) * kappa_d,
                           alpha_U, row_ref[idk], nnum, nsp);
       for (i64 k = 0; k < kept; ++k) {
         Uids.push_back(ut_ids[k]);
@@ -266,7 +283,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       Uend.push_back((i64)Uids.size());
     }
 
-    i64 kept = drop_vec(l_ids, wl, tau_L, std::fabs(kl) * kappa_d,
+    i64 kept = drop_vec(l_ids, wl, tau_L, std::abs(kl) * kappa_d,
                         alpha_L, col_ref[idk], nnum, nsp);
     for (i64 k = 0; k < kept; ++k) {
       Lids.push_back(l_ids[k]);
@@ -330,7 +347,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     res->Fv.resize(res->Fp[m]);
     std::vector<i64> ne(res->Ep.begin(), res->Ep.end() - 1);
     std::vector<i64> nf(res->Fp.begin(), res->Fp.end() - 1);
-    std::vector<std::pair<i32, double>> rowbuf;
+    std::vector<std::pair<i32, VT>> rowbuf;
     for (i64 prow = 0; prow < n; ++prow) {
       const i64 arow = res->ord[prow];
       rowbuf.clear();
@@ -340,7 +357,10 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         if (tailrow && pc < m) rowbuf.push_back({(i32)pc, Av[k]});
         else if (!tailrow && pc >= m) rowbuf.push_back({(i32)(pc - m), Av[k]});
       }
-      std::sort(rowbuf.begin(), rowbuf.end());
+      std::sort(rowbuf.begin(), rowbuf.end(),
+                [](const std::pair<i32, VT> &a, const std::pair<i32, VT> &b) {
+                  return a.first < b.first;
+                });
       if (tailrow) {
         i64 &w = ne[prow - m];
         for (auto &e : rowbuf) {
@@ -377,7 +397,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   res->Ui.resize(res->Up[m]);
   res->Uv.resize(res->Up[m]);
   std::vector<i32> UFi(UFp[m]);
-  std::vector<double> UFv(UFp[m]);
+  std::vector<VT> UFv(UFp[m]);
   {
     std::vector<i64> nb(res->Up.begin(), res->Up.end() - 1);
     std::vector<i64> nf(UFp.begin(), UFp.end() - 1);
@@ -395,12 +415,15 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   }
   // sort U_B rows by column (reused pair scratch, no per-row allocation)
   {
-    std::vector<std::pair<i32, double>> srt;
+    std::vector<std::pair<i32, VT>> srt;
     for (i64 j = 0; j < m; ++j) {
       const i64 a = res->Up[j], b = res->Up[j + 1];
       srt.clear();
       for (i64 k = a; k < b; ++k) srt.push_back({res->Ui[k], res->Uv[k]});
-      std::sort(srt.begin(), srt.end());
+      std::sort(srt.begin(), srt.end(),
+                [](const std::pair<i32, VT> &a, const std::pair<i32, VT> &b) {
+                  return a.first < b.first;
+                });
       for (i64 k = a; k < b; ++k) {
         res->Ui[k] = srt[k - a].first;
         res->Uv[k] = srt[k - a].second;
@@ -425,7 +448,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   res->Li.resize(res->Lp[m]);
   res->Lv.resize(res->Lp[m]);
   std::vector<i32> LEi(LEp[nm]);
-  std::vector<double> LEv(LEp[nm]);
+  std::vector<VT> LEv(LEp[nm]);
   {
     std::vector<i64> nb(res->Lp.begin(), res->Lp.end() - 1);
     std::vector<i64> ne(LEp.begin(), LEp.end() - 1);
@@ -452,7 +475,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     if (schur_aL > 0.0) {
       std::vector<i64> newp(nm + 1, 0);
       std::vector<i32> ni;
-      std::vector<double> nv;
+      std::vector<VT> nv;
       ni.reserve(LEi.size());
       nv.reserve(LEv.size());
       std::vector<i64> idx;
@@ -465,7 +488,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           for (i64 k = 0; k < b - a; ++k) idx[k] = a + k;
           std::nth_element(idx.begin(), idx.begin() + cap - 1, idx.end(),
                            [&](i64 x, i64 y) {
-                             return std::fabs(LEv[x]) > std::fabs(LEv[y]);
+                             return std::abs(LEv[x]) > std::abs(LEv[y]);
                            });
           std::sort(idx.begin(), idx.begin() + cap, [&](i64 x, i64 y) {
             return LEi[x] < LEi[y];
@@ -510,7 +533,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         if (b - a > cap) {
           std::nth_element(entry_of.begin() + a, entry_of.begin() + a + cap - 1,
                            entry_of.begin() + b, [&](i64 x, i64 y) {
-                             return std::fabs(UFv[x]) > std::fabs(UFv[y]);
+                             return std::abs(UFv[x]) > std::abs(UFv[y]);
                            });
           for (i64 k = a + cap; k < b; ++k) kill[entry_of[k]] = 1;
         }
@@ -533,7 +556,7 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
 
     // ---- Schur: S = Ahat[tail, tail] - L_E D U_F (ref Schur.hpp:214) ----
     // row i of S: C row = Ahat row ord[m+i] restricted to tail columns
-    std::vector<long double> acc(nm, 0.0L);
+    std::vector<LD> acc(nm, LD(0.0L));
     std::vector<i64> stag(nm, -1);
     std::vector<i32> srow;
     res->Sp.assign(nm + 1, 0);
@@ -544,28 +567,28 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         const i64 pc = pos[Ai[k]];
         if (pc >= m) {
           const i64 c = pc - m;
-          acc[c] = (long double)Av[k];
+          acc[c] = LD(Av[k]);
           stag[c] = i;
           srow.push_back((i32)c);
         }
       }
       for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
         const i32 j = LEi[k];
-        const long double ld = (long double)LEv[k] * (long double)dvec[j];
+        const LD ldv = LD(LEv[k]) * LD(dvec[j]);
         for (i64 kk = UFp[j]; kk < UFp[j + 1]; ++kk) {
           const i32 c = UFi[kk];
           if (stag[c] != i) {
-            acc[c] = -ld * (long double)UFv[kk];
+            acc[c] = -ldv * LD(UFv[kk]);
             stag[c] = i;
             srow.push_back(c);
           } else
-            acc[c] -= ld * (long double)UFv[kk];
+            acc[c] -= ldv * LD(UFv[kk]);
         }
       }
       std::sort(srow.begin(), srow.end());
       for (i32 c : srow) {
         res->Si.push_back(c);
-        res->Sv.push_back((double)acc[c]);
+        res->Sv.push_back(VT(acc[c]));
       }
       res->Sp[i + 1] = (i64)res->Si.size();
     }
@@ -587,10 +610,57 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   return res;
 }
 
-// ---- result accessors ----
-HT_API i64 ht_res_m(void *h) { return ((Result *)h)->m; }
-HT_API i64 ht_res_nnz(void *h, int what) {
-  auto *r = (Result *)h;
+// ---- entry points ----
+template void *crout_core<double>(i64, i64, const i64 *, const i32 *,
+                                  const double *, const double *, double,
+                                  double, double, double, double, double,
+                                  const i64 *, const i64 *, double, double,
+                                  int);
+template void *crout_core<std::complex<double>>(
+    i64, i64, const i64 *, const i32 *, const std::complex<double> *,
+    const std::complex<double> *, double, double, double, double, double,
+    double, const i64 *, const i64 *, double, double, int);
+
+}  // namespace
+
+HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                      const double *Av, const double *d0, double kappa_d,
+                      double kappa, double tau_L, double tau_U, double alpha_L,
+                      double alpha_U, const i64 *row_ref, const i64 *col_ref,
+                      double schur_aL, double schur_aU, int symmetric) {
+  return crout_core<double>(n, m2, Ap, Ai, Av, d0, kappa_d, kappa, tau_L,
+                            tau_U, alpha_L, alpha_U, row_ref, col_ref,
+                            schur_aL, schur_aU, symmetric);
+}
+
+// complex128 arrays passed as interleaved double pairs
+HT_API void *ht_crout_z(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                        const double *Av, const double *d0, double kappa_d,
+                        double kappa, double tau_L, double tau_U,
+                        double alpha_L, double alpha_U, const i64 *row_ref,
+                        const i64 *col_ref, double schur_aL, double schur_aU,
+                        int symmetric) {
+  return crout_core<std::complex<double>>(
+      n, m2, Ap, Ai, (const std::complex<double> *)Av,
+      (const std::complex<double> *)d0, kappa_d, kappa, tau_L, tau_U,
+      alpha_L, alpha_U, row_ref, col_ref, schur_aL, schur_aU, symmetric);
+}
+
+// ---- result accessors (type-dispatched via the common ResHead prefix) ----
+namespace {
+template <class VT, class F>
+auto with_res(void *h, F f) {
+  return f(*(Result<VT> *)h);
+}
+inline bool res_cplx(void *h) { return ((ResHead *)h)->is_complex != 0; }
+}  // namespace
+
+HT_API i64 ht_res_m(void *h) { return ((ResHead *)h)->m; }
+HT_API int ht_res_is_complex(void *h) { return res_cplx(h); }
+
+template <class VT>
+static i64 res_nnz_t(void *h, int what) {
+  auto *r = (Result<VT> *)h;
   switch (what) {
     case 0: return (i64)r->Li.size();
     case 1: return (i64)r->Ui.size();
@@ -600,12 +670,18 @@ HT_API i64 ht_res_nnz(void *h, int what) {
   }
   return -1;
 }
-HT_API void ht_res_copy_mat(void *h, int what, i64 *indptr, i32 *indices,
-                            double *vals) {
-  auto *r = (Result *)h;
+HT_API i64 ht_res_nnz(void *h, int what) {
+  return res_cplx(h) ? res_nnz_t<std::complex<double>>(h, what)
+                     : res_nnz_t<double>(h, what);
+}
+
+template <class VT>
+static void res_copy_mat_t(void *h, int what, i64 *indptr, i32 *indices,
+                           VT *vals) {
+  auto *r = (Result<VT> *)h;
   const std::vector<i64> *p;
   const std::vector<i32> *i;
-  const std::vector<double> *v;
+  const std::vector<VT> *v;
   if (what == 0) { p = &r->Lp; i = &r->Li; v = &r->Lv; }
   else if (what == 1) { p = &r->Up; i = &r->Ui; v = &r->Uv; }
   else if (what == 2) { p = &r->Sp; i = &r->Si; v = &r->Sv; }
@@ -613,18 +689,46 @@ HT_API void ht_res_copy_mat(void *h, int what, i64 *indptr, i32 *indices,
   else { p = &r->Fp; i = &r->Fi; v = &r->Fv; }
   std::memcpy(indptr, p->data(), p->size() * sizeof(i64));
   if (!i->empty()) std::memcpy(indices, i->data(), i->size() * sizeof(i32));
-  if (!v->empty()) std::memcpy(vals, v->data(), v->size() * sizeof(double));
+  if (!v->empty()) std::memcpy(vals, v->data(), v->size() * sizeof(VT));
 }
+HT_API void ht_res_copy_mat(void *h, int what, i64 *indptr, i32 *indices,
+                            double *vals) {
+  if (res_cplx(h))
+    res_copy_mat_t<std::complex<double>>(h, what, indptr, indices,
+                                         (std::complex<double> *)vals);
+  else
+    res_copy_mat_t<double>(h, what, indptr, indices, vals);
+}
+
 HT_API void ht_res_copy_d(void *h, double *out) {
-  auto *r = (Result *)h;
-  std::memcpy(out, r->d.data(), r->d.size() * sizeof(double));
+  if (res_cplx(h)) {
+    auto *r = (Result<std::complex<double>> *)h;
+    std::memcpy(out, r->d.data(),
+                r->d.size() * sizeof(std::complex<double>));
+  } else {
+    auto *r = (Result<double> *)h;
+    std::memcpy(out, r->d.data(), r->d.size() * sizeof(double));
+  }
 }
 HT_API void ht_res_copy_ord(void *h, i64 *out) {
-  auto *r = (Result *)h;
-  std::memcpy(out, r->ord.data(), r->ord.size() * sizeof(i64));
+  if (res_cplx(h)) {
+    auto *r = (Result<std::complex<double>> *)h;
+    std::memcpy(out, r->ord.data(), r->ord.size() * sizeof(i64));
+  } else {
+    auto *r = (Result<double> *)h;
+    std::memcpy(out, r->ord.data(), r->ord.size() * sizeof(i64));
+  }
 }
 HT_API void ht_res_copy_stats(void *h, i64 *out) {
-  auto *r = (Result *)h;
-  std::memcpy(out, r->stats, 6 * sizeof(i64));
+  if (res_cplx(h)) {
+    auto *r = (Result<std::complex<double>> *)h;
+    std::memcpy(out, r->stats, 6 * sizeof(i64));
+  } else {
+    auto *r = (Result<double> *)h;
+    std::memcpy(out, r->stats, 6 * sizeof(i64));
+  }
 }
-HT_API void ht_res_free(void *h) { delete (Result *)h; }
+HT_API void ht_res_free(void *h) {
+  if (res_cplx(h)) delete (Result<std::complex<double>> *)h;
+  else delete (Result<double> *)h;
+}

@@ -51,12 +51,12 @@ def _load() -> Optional[ctypes.CDLL]:
                [c, _I64, _I32, _F64, _I64, _F64, _F64])
     lib._has_amd = _bind(lib, "ht_amd", ctypes.c_int, [c, _I64, _I32, _I64])
     lib._has_rcm = _bind(lib, "ht_rcm", ctypes.c_int, [c, _I64, _I32, _I64])
-    lib._has_crout = _bind(
-        lib, "ht_crout", ctypes.c_void_p,
-        [c, c, _I64, _I32, _F64, _F64,
-         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-         ctypes.c_double, ctypes.c_double, _I64, _I64,
-         ctypes.c_double, ctypes.c_double, ctypes.c_int])
+    crout_sig = [c, c, _I64, _I32, _F64, _F64,
+                 ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                 ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                 _I64, _I64, ctypes.c_double, ctypes.c_double, ctypes.c_int]
+    lib._has_crout = _bind(lib, "ht_crout", ctypes.c_void_p, crout_sig)
+    lib._has_crout_z = _bind(lib, "ht_crout_z", ctypes.c_void_p, crout_sig)
     if lib._has_crout:
         _bind(lib, "ht_res_m", c, [ctypes.c_void_p])
         _bind(lib, "ht_res_nnz", c, [ctypes.c_void_p, ctypes.c_int])
@@ -82,6 +82,11 @@ def available() -> bool:
 def has_crout() -> bool:
     lib = _load()
     return bool(lib is not None and getattr(lib, "_has_crout", False))
+
+
+def has_crout_z() -> bool:
+    lib = _load()
+    return bool(lib is not None and getattr(lib, "_has_crout_z", False))
 
 
 def mc64(B) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
@@ -142,14 +147,20 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
     lib = _load()
     kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = pars
     n = Ahat.nrows
-    h = lib.ht_crout(
-        n, m2, Ahat.indptr, Ahat.indices,
-        np.ascontiguousarray(Ahat.data, dtype=np.float64),
-        np.ascontiguousarray(d0, dtype=np.float64),
-        kappa_d, kappa, tau_L, tau_U, alpha_L, alpha_U,
-        np.ascontiguousarray(row_ref, dtype=np.int64),
-        np.ascontiguousarray(col_ref, dtype=np.int64),
-        schur_aL, schur_aU, 1 if symmetric else 0)
+    cplx = np.iscomplexobj(Ahat.data)
+    vdt = np.complex128 if cplx else np.float64
+
+    def _as_f64(a):
+        a = np.ascontiguousarray(a, dtype=vdt)
+        return a.view(np.float64)
+
+    fn = lib.ht_crout_z if cplx else lib.ht_crout
+    h = fn(n, m2, Ahat.indptr, Ahat.indices, _as_f64(Ahat.data),
+           _as_f64(np.asarray(d0, dtype=vdt)),
+           kappa_d, kappa, tau_L, tau_U, alpha_L, alpha_U,
+           np.ascontiguousarray(row_ref, dtype=np.int64),
+           np.ascontiguousarray(col_ref, dtype=np.int64),
+           schur_aL, schur_aU, 1 if symmetric else 0)
     if not h:
         raise RuntimeError("native crout failed")
     try:
@@ -160,8 +171,9 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
             nnz = lib.ht_res_nnz(h, what)
             indptr = np.empty(nrows + 1, dtype=np.int64)
             indices = np.empty(max(nnz, 1), dtype=np.int32)
-            vals = np.empty(max(nnz, 1), dtype=np.float64)
-            lib.ht_res_copy_mat(h, what, indptr, indices, vals)
+            vals = np.empty(max(nnz, 1), dtype=vdt)
+            lib.ht_res_copy_mat(h, what, indptr, indices,
+                                vals.view(np.float64))
             return indptr, indices[:nnz], vals[:nnz]
 
         L = _mat(0, m)
@@ -169,9 +181,9 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
         S = _mat(2, nm)
         E = _mat(3, nm)
         F = _mat(4, m)
-        d = np.empty(m, dtype=np.float64)
+        d = np.empty(m, dtype=vdt)
         if m:
-            lib.ht_res_copy_d(h, d)
+            lib.ht_res_copy_d(h, d.view(np.float64))
         ordf = np.empty(n, dtype=np.int64)
         lib.ht_res_copy_ord(h, ordf)
         stats = np.empty(6, dtype=np.int64)
