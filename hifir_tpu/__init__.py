@@ -15,3 +15,4 @@ from .options import (Options, Params, get_default_options,
 from .ds import CSR
 from .api import HIF
 from .nsp import NspFilter
+from . import capi
