@@ -5,3 +5,4 @@ from .sharded import (shard_ell_rows, sharded_spmv, make_sharded_ir_step,
 from .trsv_sharded import ShardedTrsv, shard_trsv_schedule, sharded_trsv_apply
 from .prec_sharded import DistPrec
 from .multihost import initialize_multihost, global_mesh
+from .halo import HaloSpMV, build_halo_spmv, halo_spmv

@@ -76,3 +76,24 @@ def test_sharded_ir_step_converges(mesh):
     res = max(np.linalg.norm(B[:, k] - A.matvec(Xn[:, k]))
               / np.linalg.norm(B[:, k]) for k in range(nrhs))
     assert res <= 1e-10
+
+
+def test_halo_spmv(mesh_rows):
+    """Neighbor-only ppermute halo exchange for banded operators."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hifir_tpu.parallel.halo import build_halo_spmv, halo_spmv
+
+    A = poisson2d(16)  # banded in natural ordering
+    H = build_halo_spmv(mesh_rows, A)
+    n = A.nrows
+    x = np.random.default_rng(0).standard_normal(H.nb * 8)
+    x[n:] = 0.0
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh_rows, P("rows")))
+    y = np.asarray(halo_spmv(H, xs))
+    np.testing.assert_allclose(y[:n], A.matvec(x[:n]), rtol=1e-12)
+
+    from hifir_tpu.models import random_sparse
+
+    with pytest.raises(ValueError):
+        build_halo_spmv(mesh_rows, random_sparse(1024, 6, seed=1))
