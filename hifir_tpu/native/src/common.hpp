@@ -55,4 +55,39 @@ inline void transpose_csr(i64 nrows, i64 ncols, const i64 *indptr,
     }
 }
 
+// sort every CSR row by column via two counting transposes: O(nnz), no
+// comparison sorts (used for factor/block assembly where rows are built
+// unsorted)
+template <class VT>
+inline void sort_csr_rows(i64 nrows, i64 ncols, const std::vector<i64> &ptr,
+                          std::vector<i32> &idx, std::vector<VT> &val) {
+  const i64 nnz = ptr[nrows];
+  if (!nnz) return;
+  // pass 1: scatter to column-major (stable in row order)
+  std::vector<i64> cptr(ncols + 1, 0);
+  for (i64 k = 0; k < nnz; ++k) ++cptr[idx[k] + 1];
+  for (i64 c = 0; c < ncols; ++c) cptr[c + 1] += cptr[c];
+  std::vector<i32> cm_row(nnz);
+  std::vector<VT> cm_val(nnz);
+  {
+    std::vector<i64> nx(cptr.begin(), cptr.end() - 1);
+    for (i64 i = 0; i < nrows; ++i)
+      for (i64 k = ptr[i]; k < ptr[i + 1]; ++k) {
+        const i64 pos = nx[idx[k]]++;
+        cm_row[pos] = (i32)i;
+        cm_val[pos] = val[k];
+      }
+  }
+  // pass 2: traverse columns in order, emit back per row => rows sorted
+  {
+    std::vector<i64> nx(ptr.begin(), ptr.end() - 1);
+    for (i64 c = 0; c < ncols; ++c)
+      for (i64 k = cptr[c]; k < cptr[c + 1]; ++k) {
+        const i64 pos = nx[cm_row[k]]++;
+        idx[pos] = (i32)c;
+        val[pos] = cm_val[k];
+      }
+  }
+}
+
 }  // namespace ht

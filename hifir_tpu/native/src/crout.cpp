@@ -19,23 +19,21 @@ namespace {
 
 template <class VT>
 struct Adj {
-  // per-id adjacency (step, value) as linked lists into one arena --
-  // single growing allocation instead of n vectors (allocation churn was
-  // the dominant cost of the first implementation)
+  // per-id adjacency (step, value) as linked lists into one arena of packed
+  // nodes -- one cache line per traversal visit (the loop is miss-bound)
+  struct Node {
+    i32 nxt;
+    i32 step;
+    VT val;
+  };
   std::vector<i32> head;
-  std::vector<i32> nxt;
-  std::vector<i32> steps;
-  std::vector<VT> vals;
+  std::vector<Node> pool;
   explicit Adj(i64 n, i64 reserve_nnz) : head(n, -1) {
-    nxt.reserve(reserve_nnz);
-    steps.reserve(reserve_nnz);
-    vals.reserve(reserve_nnz);
+    pool.reserve(reserve_nnz);
   }
   inline void add(i64 id, i32 step, VT v) {
-    nxt.push_back(head[id]);
-    steps.push_back(step);
-    vals.push_back(v);
-    head[id] = (i32)(nxt.size() - 1);
+    pool.push_back(Node{head[id], step, v});
+    head[id] = (i32)(pool.size() - 1);
   }
 };
 
@@ -151,14 +149,14 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       // symmetric LDL^T kernel kappa_u == kappa_l (ref factor.hpp:818-820)
       VT sum = VT(0.0);
       if (!symmetric) {
-        for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.nxt[e])
-          sum += kap_u[cols_of_U.steps[e]] * cols_of_U.vals[e];
+        for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt)
+          sum += kap_u[cols_of_U.pool[e].step] * cols_of_U.pool[e].val;
         const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
         ku = std::abs(k1) < std::abs(k2) ? k2 : k1;
       }
       sum = VT(0.0);
-      for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.nxt[e])
-        sum += kap_l[rows_of_L.steps[e]] * rows_of_L.vals[e];
+      for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt)
+        sum += kap_l[rows_of_L.pool[e].step] * rows_of_L.pool[e].val;
       {
         const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
         kl = std::abs(k1) < std::abs(k2) ? k2 : k1;
@@ -184,9 +182,9 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       }
     }
     if (!symmetric)
-    for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.nxt[e]) {
-      const i32 j = rows_of_L.steps[e];
-      const VT ld = rows_of_L.vals[e] * dvec[j];
+    for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt) {
+      const i32 j = rows_of_L.pool[e].step;
+      const VT ld = rows_of_L.pool[e].val * dvec[j];
       i64 k = Uptr[j], end = Uend[j];
       while (k < end) {
         const i32 c = Uids[k];
@@ -221,10 +219,11 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     }
     for (i32 e = symmetric ? rows_of_L.head[idk] : cols_of_U.head[idk];
          e >= 0;
-         e = symmetric ? rows_of_L.nxt[e] : cols_of_U.nxt[e]) {
-      const i32 j = symmetric ? rows_of_L.steps[e] : cols_of_U.steps[e];
-      const VT du =
-          dvec[j] * (symmetric ? rows_of_L.vals[e] : cols_of_U.vals[e]);
+         e = symmetric ? rows_of_L.pool[e].nxt : cols_of_U.pool[e].nxt) {
+      const i32 j = symmetric ? rows_of_L.pool[e].step
+                              : cols_of_U.pool[e].step;
+      const VT du = dvec[j] * (symmetric ? rows_of_L.pool[e].val
+                                         : cols_of_U.pool[e].val);
       i64 k = Lptr[j], end = Lend[j];
       while (k < end) {
         const i32 r = Lids[k];
@@ -413,23 +412,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         }
       }
   }
-  // sort U_B rows by column (reused pair scratch, no per-row allocation)
-  {
-    std::vector<std::pair<i32, VT>> srt;
-    for (i64 j = 0; j < m; ++j) {
-      const i64 a = res->Up[j], b = res->Up[j + 1];
-      srt.clear();
-      for (i64 k = a; k < b; ++k) srt.push_back({res->Ui[k], res->Uv[k]});
-      std::sort(srt.begin(), srt.end(),
-                [](const std::pair<i32, VT> &a, const std::pair<i32, VT> &b) {
-                  return a.first < b.first;
-                });
-      for (i64 k = a; k < b; ++k) {
-        res->Ui[k] = srt[k - a].first;
-        res->Uv[k] = srt[k - a].second;
-      }
-    }
-  }
+  // sort U_B rows by column (O(nnz) counting transposes)
+  ht::sort_csr_rows<VT>(m, m, res->Up, res->Ui, res->Uv);
 
   // L columns -> split into L_B (m x m, want CSR) and L_E ((n-m) x m CSR)
   // first count rows
