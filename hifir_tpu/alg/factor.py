@@ -209,7 +209,23 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
                            and _native.has_crout_z())))
     S_native = None
     EF_native = None
-    if use_pivot:
+    native_pivot_ok = (opts.use_native and _native.has_pivot()
+                       and Ahat.data.dtype in (np.float64, np.complex128))
+    if use_pivot and native_pivot_ok:
+        pars = determine_fac_pars(opts, level)
+        (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,
+         nstats) = _native.crout_pivot(Ahat, m2, pars, row_ref, col_ref,
+                                       a_L, a_U, opts.gamma)
+        res = CroutResult(
+            m=m, n=n,
+            L_B=CSR(m, m, *Ltrip), d=dvec_n, U_B=CSR(m, m, *Utrip),
+            L_E=None, U_F=None, ord_final=ordf,
+            defers=int(nstats[0]), diag_defers=int(nstats[1]),
+            cond_defers=int(nstats[2]), space_drops=int(nstats[3]),
+            total_drops=int(nstats[4]), kappa_u=None, kappa_l=None)
+        S_native = CSR(n - m, n - m, *Strip)
+        EF_native = (CSR(n - m, m, *Etrip), CSR(m, n - m, *Ftrip))
+    elif use_pivot:
         from .crout_pivot_np import pivot_crout_level_np
 
         res = pivot_crout_level_np(Ahat, m2, level, opts, row_ref, col_ref)

@@ -94,6 +94,281 @@ inline i64 drop_vec(std::vector<i32> &ids, const Buf &buf, double tau,
 namespace {
 
 template <class VT>
+void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
+                   const i32 *Ai, const VT *Av, const i64 *row_ref,
+                   const i64 *col_ref, double schur_aL, double schur_aU,
+                   const std::vector<i64> &ordR, const std::vector<i64> &ordC,
+                   const std::vector<i64> &Lptr, const std::vector<i32> &Lids,
+                   const std::vector<VT> &Lvals, const std::vector<i64> &Uptr,
+                   const std::vector<i32> &Uids, const std::vector<VT> &Uvals,
+                   const std::vector<VT> &dvec) {
+  using LD = typename std::conditional<
+      std::is_same<VT, std::complex<double>>::value,
+      std::complex<long double>, long double>::type;
+  // position maps for (possibly distinct) row/col orderings
+  std::vector<i64> posR(n), posC(n);
+  for (i64 k = 0; k < n; ++k) posR[ordR[k]] = k;
+  for (i64 k = 0; k < n; ++k) posC[ordC[k]] = k;
+  res->ord.assign(ordR.begin(), ordR.end());
+  res->ord.insert(res->ord.end(), ordC.begin(), ordC.end());
+  const i64 nm0 = n - m;
+
+  // ---- E / F blocks of Ahat in final ordering (ref extract_E/F,
+  // factor.hpp:185-368), assembled with counting sort, O(nnz) ----
+  {
+    res->Ep.assign(nm0 + 1, 0);
+    res->Fp.assign(m + 1, 0);
+    for (i64 prow = 0; prow < n; ++prow) {
+      const i64 arow = ordR[prow];
+      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+        const i64 pc = posC[Ai[k]];
+        if (prow >= m && pc < m) ++res->Ep[prow - m + 1];
+        else if (prow < m && pc >= m) ++res->Fp[prow + 1];
+      }
+    }
+    for (i64 i = 0; i < nm0; ++i) res->Ep[i + 1] += res->Ep[i];
+    for (i64 i = 0; i < m; ++i) res->Fp[i + 1] += res->Fp[i];
+    res->Ei.resize(res->Ep[nm0]);
+    res->Ev.resize(res->Ep[nm0]);
+    res->Fi.resize(res->Fp[m]);
+    res->Fv.resize(res->Fp[m]);
+    std::vector<i64> ne(res->Ep.begin(), res->Ep.end() - 1);
+    std::vector<i64> nf(res->Fp.begin(), res->Fp.end() - 1);
+    std::vector<std::pair<i32, VT>> rowbuf;
+    for (i64 prow = 0; prow < n; ++prow) {
+      const i64 arow = ordR[prow];
+      rowbuf.clear();
+      const bool tailrow = prow >= m;
+      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+        const i64 pc = posC[Ai[k]];
+        if (tailrow && pc < m) rowbuf.push_back({(i32)pc, Av[k]});
+        else if (!tailrow && pc >= m) rowbuf.push_back({(i32)(pc - m), Av[k]});
+      }
+      std::sort(rowbuf.begin(), rowbuf.end(),
+                [](const std::pair<i32, VT> &a, const std::pair<i32, VT> &b) {
+                  return a.first < b.first;
+                });
+      if (tailrow) {
+        i64 &w = ne[prow - m];
+        for (auto &e : rowbuf) {
+          res->Ei[w] = e.first;
+          res->Ev[w++] = e.second;
+        }
+      } else {
+        i64 &w = nf[prow];
+        for (auto &e : rowbuf) {
+          res->Fi[w] = e.first;
+          res->Fv[w++] = e.second;
+        }
+      }
+    }
+  }
+
+  // ---- split U rows into U_B (CSR, cols < m) and U_F^T rows; L columns into
+  // L_B (transposed to CSR) and L_E rows ----
+  const i64 nm = n - m;
+  // U_B CSR (row per step), U_F as CSC (column j of U -> tail cols)
+  res->Up.assign(m + 1, 0);
+  std::vector<i64> UFp(m + 1, 0);
+  for (i64 j = 0; j < m; ++j) {
+    for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k)
+      if (posC[Uids[k]] < m)
+        ++res->Up[j + 1];
+      else
+        ++UFp[j + 1];
+  }
+  for (i64 j = 0; j < m; ++j) {
+    res->Up[j + 1] += res->Up[j];
+    UFp[j + 1] += UFp[j];
+  }
+  res->Ui.resize(res->Up[m]);
+  res->Uv.resize(res->Up[m]);
+  std::vector<i32> UFi(UFp[m]);
+  std::vector<VT> UFv(UFp[m]);
+  {
+    std::vector<i64> nb(res->Up.begin(), res->Up.end() - 1);
+    std::vector<i64> nf(UFp.begin(), UFp.end() - 1);
+    for (i64 j = 0; j < m; ++j)
+      for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
+        const i64 pc = posC[Uids[k]];
+        if (pc < m) {
+          res->Ui[nb[j]] = (i32)pc;
+          res->Uv[nb[j]++] = Uvals[k];
+        } else {
+          UFi[nf[j]] = (i32)(pc - m);
+          UFv[nf[j]++] = Uvals[k];
+        }
+      }
+  }
+  // sort U_B rows by column (O(nnz) counting transposes)
+  ht::sort_csr_rows<VT>(m, m, res->Up, res->Ui, res->Uv);
+
+  // L columns -> split into L_B (m x m, want CSR) and L_E ((n-m) x m CSR)
+  // first count rows
+  res->Lp.assign(m + 1, 0);
+  std::vector<i64> LEp(nm + 1, 0);
+  for (i64 j = 0; j < m; ++j)
+    for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
+      const i64 pr = posR[Lids[k]];
+      if (pr < m)
+        ++res->Lp[pr + 1];
+      else
+        ++LEp[pr - m + 1];
+    }
+  for (i64 i = 0; i < m; ++i) res->Lp[i + 1] += res->Lp[i];
+  for (i64 i = 0; i < nm; ++i) LEp[i + 1] += LEp[i];
+  res->Li.resize(res->Lp[m]);
+  res->Lv.resize(res->Lp[m]);
+  std::vector<i32> LEi(LEp[nm]);
+  std::vector<VT> LEv(LEp[nm]);
+  {
+    std::vector<i64> nb(res->Lp.begin(), res->Lp.end() - 1);
+    std::vector<i64> ne(LEp.begin(), LEp.end() - 1);
+    for (i64 j = 0; j < m; ++j)  // columns in increasing step order => sorted
+      for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
+        const i64 pr = posR[Lids[k]];
+        if (pr < m) {
+          res->Li[nb[pr]] = (i32)j;
+          res->Lv[nb[pr]++] = Lvals[k];
+        } else {
+          LEi[ne[pr - m]] = (i32)j;
+          LEv[ne[pr - m]++] = Lvals[k];
+        }
+      }
+  }
+
+  res->d = dvec;
+
+  // ---- L_E / U_F dropping (ref Schur.hpp:61-190) ----
+  if (nm) {
+    std::vector<i32> keep;
+    // L_E rows: cap ceil(schur_aL * row_ref[ord[m+i]])
+    if (schur_aL > 0.0) {
+      std::vector<i64> newp(nm + 1, 0);
+      std::vector<i32> ni;
+      std::vector<VT> nv;
+      ni.reserve(LEi.size());
+      nv.reserve(LEv.size());
+      std::vector<i64> idx;
+      for (i64 i = 0; i < nm; ++i) {
+        const i64 a = LEp[i], b = LEp[i + 1];
+        i64 cap = (i64)std::ceil(schur_aL * (double)row_ref[ordR[m + i]]);
+        if (cap < 1) cap = 1;
+        if (b - a > cap) {
+          idx.resize(b - a);
+          for (i64 k = 0; k < b - a; ++k) idx[k] = a + k;
+          std::nth_element(idx.begin(), idx.begin() + cap - 1, idx.end(),
+                           [&](i64 x, i64 y) {
+                             return std::abs(LEv[x]) > std::abs(LEv[y]);
+                           });
+          std::sort(idx.begin(), idx.begin() + cap, [&](i64 x, i64 y) {
+            return LEi[x] < LEi[y];
+          });
+          for (i64 kk = 0; kk < cap; ++kk) {
+            ni.push_back(LEi[idx[kk]]);
+            nv.push_back(LEv[idx[kk]]);
+          }
+        } else {
+          for (i64 k = a; k < b; ++k) {
+            ni.push_back(LEi[k]);
+            nv.push_back(LEv[k]);
+          }
+        }
+        newp[i + 1] = (i64)ni.size();
+      }
+      LEp.swap(newp);
+      LEi.swap(ni);
+      LEv.swap(nv);
+    }
+    // U_F columns: cap ceil(schur_aU * col_ref[ord[m+j]]); UF stored per
+    // source row (CSC of U_F); dropping is per *column* of U_F == per tail col
+    if (schur_aU > 0.0) {
+      // build column-major counts of UF: column c in [0, nm)
+      std::vector<i64> colcnt(nm, 0);
+      for (i64 k = 0; k < (i64)UFi.size(); ++k) ++colcnt[UFi[k]];
+      // select per column the cap largest: gather entries per column
+      std::vector<i64> cptr(nm + 1, 0);
+      for (i64 c = 0; c < nm; ++c) cptr[c + 1] = cptr[c] + colcnt[c];
+      std::vector<i64> entry_of(UFi.size());
+      {
+        std::vector<i64> nx(cptr.begin(), cptr.end() - 1);
+        for (i64 j = 0; j < m; ++j)
+          for (i64 k = UFp[j]; k < UFp[j + 1]; ++k)
+            entry_of[nx[UFi[k]]++] = k;
+      }
+      std::vector<char> kill(UFi.size(), 0);
+      for (i64 c = 0; c < nm; ++c) {
+        const i64 a = cptr[c], b = cptr[c + 1];
+        i64 cap = (i64)std::ceil(schur_aU * (double)col_ref[ordC[m + c]]);
+        if (cap < 1) cap = 1;
+        if (b - a > cap) {
+          std::nth_element(entry_of.begin() + a, entry_of.begin() + a + cap - 1,
+                           entry_of.begin() + b, [&](i64 x, i64 y) {
+                             return std::abs(UFv[x]) > std::abs(UFv[y]);
+                           });
+          for (i64 k = a + cap; k < b; ++k) kill[entry_of[k]] = 1;
+        }
+      }
+      // compress
+      std::vector<i64> newp(m + 1, 0);
+      i64 w = 0;
+      for (i64 j = 0; j < m; ++j) {
+        for (i64 k = UFp[j]; k < UFp[j + 1]; ++k)
+          if (!kill[k]) {
+            UFi[w] = UFi[k];
+            UFv[w++] = UFv[k];
+          }
+        newp[j + 1] = w;
+      }
+      UFi.resize(w);
+      UFv.resize(w);
+      UFp.swap(newp);
+    }
+
+    // ---- Schur: S = Ahat[tail, tail] - L_E D U_F (ref Schur.hpp:214) ----
+    // row i of S: C row = Ahat row ord[m+i] restricted to tail columns
+    std::vector<LD> acc(nm, LD(0.0L));
+    std::vector<i64> stag(nm, -1);
+    std::vector<i32> srow;
+    res->Sp.assign(nm + 1, 0);
+    for (i64 i = 0; i < nm; ++i) {
+      srow.clear();
+      const i64 arow = ordR[m + i];
+      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+        const i64 pc = posC[Ai[k]];
+        if (pc >= m) {
+          const i64 c = pc - m;
+          acc[c] = LD(Av[k]);
+          stag[c] = i;
+          srow.push_back((i32)c);
+        }
+      }
+      for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
+        const i32 j = LEi[k];
+        const LD ldv = LD(LEv[k]) * LD(dvec[j]);
+        for (i64 kk = UFp[j]; kk < UFp[j + 1]; ++kk) {
+          const i32 c = UFi[kk];
+          if (stag[c] != i) {
+            acc[c] = -ldv * LD(UFv[kk]);
+            stag[c] = i;
+            srow.push_back(c);
+          } else
+            acc[c] -= ldv * LD(UFv[kk]);
+        }
+      }
+      std::sort(srow.begin(), srow.end());
+      for (i32 c : srow) {
+        res->Si.push_back(c);
+        res->Sv.push_back(VT(acc[c]));
+      }
+      res->Sp[i + 1] = (i64)res->Si.size();
+    }
+  } else {
+    res->Sp.assign(1, 0);
+  }
+}
+
+template <class VT>
 void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
                  const VT *Av, const VT *d0, double kappa_d,
                  double kappa, double tau_L, double tau_U, double alpha_L,
@@ -315,272 +590,16 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   auto t_loop_end = std::chrono::steady_clock::now();
   res->stats[0] = (i64)deferred.size();
 
-  // ---- final ordering and position map ----
-  res->ord.reserve(n);
+  // ---- final ordering (rows == cols for the non-pivoting kernel) ----
+  std::vector<i64> ordR;
+  ordR.reserve(n);
   for (i64 id = 0; id < m2; ++id)
-    if (status[id] == 1) res->ord.push_back(id);
-  for (i64 id = m2; id < n; ++id) res->ord.push_back(id);
-  for (i64 id : deferred) res->ord.push_back(id);
-  std::vector<i64> pos(n);
-  for (i64 k = 0; k < n; ++k) pos[res->ord[k]] = k;
-  const i64 nm0 = n - m;
-
-  // ---- E / F blocks of Ahat in final ordering (ref extract_E/F,
-  // factor.hpp:185-368), assembled with counting sort, O(nnz) ----
-  {
-    res->Ep.assign(nm0 + 1, 0);
-    res->Fp.assign(m + 1, 0);
-    for (i64 prow = 0; prow < n; ++prow) {
-      const i64 arow = res->ord[prow];
-      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
-        const i64 pc = pos[Ai[k]];
-        if (prow >= m && pc < m) ++res->Ep[prow - m + 1];
-        else if (prow < m && pc >= m) ++res->Fp[prow + 1];
-      }
-    }
-    for (i64 i = 0; i < nm0; ++i) res->Ep[i + 1] += res->Ep[i];
-    for (i64 i = 0; i < m; ++i) res->Fp[i + 1] += res->Fp[i];
-    res->Ei.resize(res->Ep[nm0]);
-    res->Ev.resize(res->Ep[nm0]);
-    res->Fi.resize(res->Fp[m]);
-    res->Fv.resize(res->Fp[m]);
-    std::vector<i64> ne(res->Ep.begin(), res->Ep.end() - 1);
-    std::vector<i64> nf(res->Fp.begin(), res->Fp.end() - 1);
-    std::vector<std::pair<i32, VT>> rowbuf;
-    for (i64 prow = 0; prow < n; ++prow) {
-      const i64 arow = res->ord[prow];
-      rowbuf.clear();
-      const bool tailrow = prow >= m;
-      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
-        const i64 pc = pos[Ai[k]];
-        if (tailrow && pc < m) rowbuf.push_back({(i32)pc, Av[k]});
-        else if (!tailrow && pc >= m) rowbuf.push_back({(i32)(pc - m), Av[k]});
-      }
-      std::sort(rowbuf.begin(), rowbuf.end(),
-                [](const std::pair<i32, VT> &a, const std::pair<i32, VT> &b) {
-                  return a.first < b.first;
-                });
-      if (tailrow) {
-        i64 &w = ne[prow - m];
-        for (auto &e : rowbuf) {
-          res->Ei[w] = e.first;
-          res->Ev[w++] = e.second;
-        }
-      } else {
-        i64 &w = nf[prow];
-        for (auto &e : rowbuf) {
-          res->Fi[w] = e.first;
-          res->Fv[w++] = e.second;
-        }
-      }
-    }
-  }
-
-  // ---- split U rows into U_B (CSR, cols < m) and U_F^T rows; L columns into
-  // L_B (transposed to CSR) and L_E rows ----
-  const i64 nm = n - m;
-  // U_B CSR (row per step), U_F as CSC (column j of U -> tail cols)
-  res->Up.assign(m + 1, 0);
-  std::vector<i64> UFp(m + 1, 0);
-  for (i64 j = 0; j < m; ++j) {
-    for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k)
-      if (pos[Uids[k]] < m)
-        ++res->Up[j + 1];
-      else
-        ++UFp[j + 1];
-  }
-  for (i64 j = 0; j < m; ++j) {
-    res->Up[j + 1] += res->Up[j];
-    UFp[j + 1] += UFp[j];
-  }
-  res->Ui.resize(res->Up[m]);
-  res->Uv.resize(res->Up[m]);
-  std::vector<i32> UFi(UFp[m]);
-  std::vector<VT> UFv(UFp[m]);
-  {
-    std::vector<i64> nb(res->Up.begin(), res->Up.end() - 1);
-    std::vector<i64> nf(UFp.begin(), UFp.end() - 1);
-    for (i64 j = 0; j < m; ++j)
-      for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
-        const i64 pc = pos[Uids[k]];
-        if (pc < m) {
-          res->Ui[nb[j]] = (i32)pc;
-          res->Uv[nb[j]++] = Uvals[k];
-        } else {
-          UFi[nf[j]] = (i32)(pc - m);
-          UFv[nf[j]++] = Uvals[k];
-        }
-      }
-  }
-  // sort U_B rows by column (O(nnz) counting transposes)
-  ht::sort_csr_rows<VT>(m, m, res->Up, res->Ui, res->Uv);
-
-  // L columns -> split into L_B (m x m, want CSR) and L_E ((n-m) x m CSR)
-  // first count rows
-  res->Lp.assign(m + 1, 0);
-  std::vector<i64> LEp(nm + 1, 0);
-  for (i64 j = 0; j < m; ++j)
-    for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
-      const i64 pr = pos[Lids[k]];
-      if (pr < m)
-        ++res->Lp[pr + 1];
-      else
-        ++LEp[pr - m + 1];
-    }
-  for (i64 i = 0; i < m; ++i) res->Lp[i + 1] += res->Lp[i];
-  for (i64 i = 0; i < nm; ++i) LEp[i + 1] += LEp[i];
-  res->Li.resize(res->Lp[m]);
-  res->Lv.resize(res->Lp[m]);
-  std::vector<i32> LEi(LEp[nm]);
-  std::vector<VT> LEv(LEp[nm]);
-  {
-    std::vector<i64> nb(res->Lp.begin(), res->Lp.end() - 1);
-    std::vector<i64> ne(LEp.begin(), LEp.end() - 1);
-    for (i64 j = 0; j < m; ++j)  // columns in increasing step order => sorted
-      for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
-        const i64 pr = pos[Lids[k]];
-        if (pr < m) {
-          res->Li[nb[pr]] = (i32)j;
-          res->Lv[nb[pr]++] = Lvals[k];
-        } else {
-          LEi[ne[pr - m]] = (i32)j;
-          LEv[ne[pr - m]++] = Lvals[k];
-        }
-      }
-  }
-
-  res->d = dvec;
-
-  // ---- L_E / U_F dropping (ref Schur.hpp:61-190) ----
-  i64 dummy_num = 0, dummy_space = 0;
-  if (nm) {
-    std::vector<i32> keep;
-    // L_E rows: cap ceil(schur_aL * row_ref[ord[m+i]])
-    if (schur_aL > 0.0) {
-      std::vector<i64> newp(nm + 1, 0);
-      std::vector<i32> ni;
-      std::vector<VT> nv;
-      ni.reserve(LEi.size());
-      nv.reserve(LEv.size());
-      std::vector<i64> idx;
-      for (i64 i = 0; i < nm; ++i) {
-        const i64 a = LEp[i], b = LEp[i + 1];
-        i64 cap = (i64)std::ceil(schur_aL * (double)row_ref[res->ord[m + i]]);
-        if (cap < 1) cap = 1;
-        if (b - a > cap) {
-          idx.resize(b - a);
-          for (i64 k = 0; k < b - a; ++k) idx[k] = a + k;
-          std::nth_element(idx.begin(), idx.begin() + cap - 1, idx.end(),
-                           [&](i64 x, i64 y) {
-                             return std::abs(LEv[x]) > std::abs(LEv[y]);
-                           });
-          std::sort(idx.begin(), idx.begin() + cap, [&](i64 x, i64 y) {
-            return LEi[x] < LEi[y];
-          });
-          for (i64 kk = 0; kk < cap; ++kk) {
-            ni.push_back(LEi[idx[kk]]);
-            nv.push_back(LEv[idx[kk]]);
-          }
-        } else {
-          for (i64 k = a; k < b; ++k) {
-            ni.push_back(LEi[k]);
-            nv.push_back(LEv[k]);
-          }
-        }
-        newp[i + 1] = (i64)ni.size();
-      }
-      LEp.swap(newp);
-      LEi.swap(ni);
-      LEv.swap(nv);
-    }
-    // U_F columns: cap ceil(schur_aU * col_ref[ord[m+j]]); UF stored per
-    // source row (CSC of U_F); dropping is per *column* of U_F == per tail col
-    if (schur_aU > 0.0) {
-      // build column-major counts of UF: column c in [0, nm)
-      std::vector<i64> colcnt(nm, 0);
-      for (i64 k = 0; k < (i64)UFi.size(); ++k) ++colcnt[UFi[k]];
-      // select per column the cap largest: gather entries per column
-      std::vector<i64> cptr(nm + 1, 0);
-      for (i64 c = 0; c < nm; ++c) cptr[c + 1] = cptr[c] + colcnt[c];
-      std::vector<i64> entry_of(UFi.size());
-      {
-        std::vector<i64> nx(cptr.begin(), cptr.end() - 1);
-        for (i64 j = 0; j < m; ++j)
-          for (i64 k = UFp[j]; k < UFp[j + 1]; ++k)
-            entry_of[nx[UFi[k]]++] = k;
-      }
-      std::vector<char> kill(UFi.size(), 0);
-      for (i64 c = 0; c < nm; ++c) {
-        const i64 a = cptr[c], b = cptr[c + 1];
-        i64 cap = (i64)std::ceil(schur_aU * (double)col_ref[res->ord[m + c]]);
-        if (cap < 1) cap = 1;
-        if (b - a > cap) {
-          std::nth_element(entry_of.begin() + a, entry_of.begin() + a + cap - 1,
-                           entry_of.begin() + b, [&](i64 x, i64 y) {
-                             return std::abs(UFv[x]) > std::abs(UFv[y]);
-                           });
-          for (i64 k = a + cap; k < b; ++k) kill[entry_of[k]] = 1;
-        }
-      }
-      // compress
-      std::vector<i64> newp(m + 1, 0);
-      i64 w = 0;
-      for (i64 j = 0; j < m; ++j) {
-        for (i64 k = UFp[j]; k < UFp[j + 1]; ++k)
-          if (!kill[k]) {
-            UFi[w] = UFi[k];
-            UFv[w++] = UFv[k];
-          }
-        newp[j + 1] = w;
-      }
-      UFi.resize(w);
-      UFv.resize(w);
-      UFp.swap(newp);
-    }
-
-    // ---- Schur: S = Ahat[tail, tail] - L_E D U_F (ref Schur.hpp:214) ----
-    // row i of S: C row = Ahat row ord[m+i] restricted to tail columns
-    std::vector<LD> acc(nm, LD(0.0L));
-    std::vector<i64> stag(nm, -1);
-    std::vector<i32> srow;
-    res->Sp.assign(nm + 1, 0);
-    for (i64 i = 0; i < nm; ++i) {
-      srow.clear();
-      const i64 arow = res->ord[m + i];
-      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
-        const i64 pc = pos[Ai[k]];
-        if (pc >= m) {
-          const i64 c = pc - m;
-          acc[c] = LD(Av[k]);
-          stag[c] = i;
-          srow.push_back((i32)c);
-        }
-      }
-      for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
-        const i32 j = LEi[k];
-        const LD ldv = LD(LEv[k]) * LD(dvec[j]);
-        for (i64 kk = UFp[j]; kk < UFp[j + 1]; ++kk) {
-          const i32 c = UFi[kk];
-          if (stag[c] != i) {
-            acc[c] = -ldv * LD(UFv[kk]);
-            stag[c] = i;
-            srow.push_back(c);
-          } else
-            acc[c] -= ldv * LD(UFv[kk]);
-        }
-      }
-      std::sort(srow.begin(), srow.end());
-      for (i32 c : srow) {
-        res->Si.push_back(c);
-        res->Sv.push_back(VT(acc[c]));
-      }
-      res->Sp[i + 1] = (i64)res->Si.size();
-    }
-  } else {
-    res->Sp.assign(1, 0);
-  }
-  (void)dummy_num;
-  (void)dummy_space;
+    if (status[id] == 1) ordR.push_back(id);
+  for (i64 id = m2; id < n; ++id) ordR.push_back(id);
+  for (i64 id : deferred) ordR.push_back(id);
+  finalize_core<VT>(res, n, m, Ap, Ai, Av, row_ref, col_ref, schur_aL,
+                    schur_aU, ordR, ordR, Lptr, Lids, Lvals, Uptr, Uids,
+                    Uvals, dvec);
   if (prof) {
     auto t_end = std::chrono::steady_clock::now();
     auto ms = [](auto a, auto b) {
@@ -591,6 +610,265 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
                  (long long)n, (long long)m, ms(t_begin, t_loop_end),
                  ms(t_loop_end, t_end));
   }
+  return res;
+}
+
+
+// ---- rook-pivoting variant (ref PivotCrout.hpp / pivot_factor.hpp; anchor:
+// hifir_tpu/alg/crout_pivot_np.py).  Row and column ids are independent;
+// d_k is computed on the fly (no incremental trailing diagonal). ----
+template <class VT>
+void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                       const VT *Av, double kappa_d, double kappa,
+                       double tau_L, double tau_U, double alpha_L,
+                       double alpha_U, const i64 *row_ref, const i64 *col_ref,
+                       double schur_aL, double schur_aU, double gamma) {
+  constexpr int MAX_ROOK = 4;  // ref PivotCrout.hpp:510
+  auto *res = new Result<VT>();
+  res->n = n;
+  if (gamma <= 0.0) gamma = 1.0;
+
+  std::vector<i64> Cp;
+  std::vector<i32> Ci;
+  std::vector<VT> Cv;
+  ht::transpose_csr(n, n, Ap, Ai, Av, Cp, Ci, Cv);
+
+  std::vector<unsigned char> statusR(n, 0), statusC(n, 0);
+  std::vector<i64> rowcand(m2), colcand(m2), pos_of_row(m2), pos_of_col(m2);
+  for (i64 i = 0; i < m2; ++i)
+    rowcand[i] = colcand[i] = pos_of_row[i] = pos_of_col[i] = i;
+
+  const i64 rsv = Ap[n] * 4 + 16;
+  Adj<VT> rows_of_L(n, rsv), cols_of_U(n, rsv);
+  std::vector<i64> Lptr{0}, Uptr{0};
+  std::vector<i32> Lids, Uids;
+  std::vector<VT> Lvals, Uvals;
+  std::vector<VT> dvec, kap_u, kap_l;
+  std::vector<i64> deferredR, deferredC;
+
+  struct TV { i64 tag; VT val; };
+  std::vector<TV> wu(n, TV{-1, VT(0.0)}), wl(n, TV{-1, VT(0.0)});
+  std::vector<i32> ut_ids, l_ids;
+  i64 stamp = 0;
+
+  auto kappa_new = [&](const Adj<VT> &adj, const std::vector<VT> &kap,
+                       i64 idv) -> VT {
+    VT sum = VT(0.0);
+    for (i32 e = adj.head[idv]; e >= 0; e = adj.pool[e].nxt)
+      sum += kap[adj.pool[e].step] * adj.pool[e].val;
+    const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
+    return std::abs(k1) < std::abs(k2) ? k2 : k1;
+  };
+
+  // unscaled l over non-accepted rows of column ci (incl. pivot row)
+  auto compute_l = [&](i64 ci) {
+    ++stamp;
+    l_ids.clear();
+    for (i64 k = Cp[ci]; k < Cp[ci + 1]; ++k) {
+      const i32 r = Ci[k];
+      if (statusR[r] != 1) {
+        wl[r].val = Cv[k];
+        wl[r].tag = stamp;
+        l_ids.push_back(r);
+      }
+    }
+    for (i32 e = cols_of_U.head[ci]; e >= 0; e = cols_of_U.pool[e].nxt) {
+      const i32 j = cols_of_U.pool[e].step;
+      const VT du = dvec[j] * cols_of_U.pool[e].val;
+      for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
+        const i32 r = Lids[k];
+        if (statusR[r] == 1) continue;
+        if (wl[r].tag != stamp) {
+          wl[r].val = -du * Lvals[k];
+          wl[r].tag = stamp;
+          l_ids.push_back(r);
+        } else
+          wl[r].val -= du * Lvals[k];
+      }
+    }
+  };
+
+  // unscaled ut over non-accepted cols of row ri (incl. pivot col)
+  auto compute_ut = [&](i64 ri) {
+    ++stamp;
+    ut_ids.clear();
+    for (i64 k = Ap[ri]; k < Ap[ri + 1]; ++k) {
+      const i32 c = Ai[k];
+      if (statusC[c] != 1) {
+        wu[c].val = Av[k];
+        wu[c].tag = stamp;
+        ut_ids.push_back(c);
+      }
+    }
+    for (i32 e = rows_of_L.head[ri]; e >= 0; e = rows_of_L.pool[e].nxt) {
+      const i32 j = rows_of_L.pool[e].step;
+      const VT ld = rows_of_L.pool[e].val * dvec[j];
+      for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
+        const i32 c = Uids[k];
+        if (statusC[c] == 1) continue;
+        if (wu[c].tag != stamp) {
+          wu[c].val = -ld * Uvals[k];
+          wu[c].tag = stamp;
+          ut_ids.push_back(c);
+        } else
+          wu[c].val -= ld * Uvals[k];
+      }
+    }
+  };
+
+  i64 step = 0;
+  for (i64 pos = 0; pos < m2; ++pos) {
+    i64 ri = rowcand[pos];
+    i64 ci = colcand[pos];
+
+    // ---- thresholded rook pivoting (ref apply_thres_pivot) --------------
+    for (int rook = 0; rook < MAX_ROOK; ++rook) {
+      bool changed = false;
+      // row interchange candidate from the column vector
+      compute_l(ci);
+      VT dk = (wl[ri].tag == stamp) ? wl[ri].val : VT(0.0);
+      i64 best_r = -1;
+      double best_mag = std::abs(dk);
+      for (i32 r : l_ids) {
+        if (r == (i32)ri || r >= m2 || statusR[r] != 0) continue;
+        if (pos_of_row[r] <= pos) continue;
+        const double mag = std::abs(wl[r].val);
+        if (mag > best_mag) {
+          best_r = r;
+          best_mag = mag;
+        }
+      }
+      if (best_r >= 0 && std::abs(dk) < gamma * best_mag) {
+        const VT klc = step ? kappa_new(rows_of_L, kap_l, best_r) : VT(1.0);
+        if (std::abs(klc) <= kappa) {
+          const i64 p2 = pos_of_row[best_r];
+          std::swap(rowcand[pos], rowcand[p2]);
+          pos_of_row[ri] = p2;
+          pos_of_row[best_r] = pos;
+          ri = best_r;
+          changed = true;
+        }
+      }
+      // column interchange candidate from the row vector
+      compute_ut(ri);
+      dk = (wu[ci].tag == stamp) ? wu[ci].val : VT(0.0);
+      i64 best_c = -1;
+      best_mag = std::abs(dk);
+      for (i32 c : ut_ids) {
+        if (c == (i32)ci || c >= m2 || statusC[c] != 0) continue;
+        if (pos_of_col[c] <= pos) continue;
+        const double mag = std::abs(wu[c].val);
+        if (mag > best_mag) {
+          best_c = c;
+          best_mag = mag;
+        }
+      }
+      if (best_c >= 0 && std::abs(dk) < gamma * best_mag) {
+        const VT kuc = step ? kappa_new(cols_of_U, kap_u, best_c) : VT(1.0);
+        if (std::abs(kuc) <= kappa) {
+          const i64 p2 = pos_of_col[best_c];
+          std::swap(colcand[pos], colcand[p2]);
+          pos_of_col[ci] = p2;
+          pos_of_col[best_c] = pos;
+          ci = best_c;
+          changed = true;
+        }
+      }
+      if (!changed) break;
+    }
+
+    // ---- admissibility of the final pair --------------------------------
+    compute_ut(ri);
+    const i64 stamp_u = stamp;
+    const VT dk = (wu[ci].tag == stamp_u) ? wu[ci].val : VT(0.0);
+    bool bad = (dk == VT(0.0)) || (std::abs(VT(1.0) / dk) > kappa_d);
+    VT ku = VT(1.0), kl = VT(1.0);
+    if (bad) {
+      ++res->stats[1];
+    } else {
+      if (step) {
+        ku = kappa_new(cols_of_U, kap_u, ci);
+        kl = kappa_new(rows_of_L, kap_l, ri);
+      }
+      bad = std::abs(ku) > kappa || std::abs(kl) > kappa;
+      if (bad) ++res->stats[2];
+    }
+    if (bad) {
+      statusR[ri] = 2;
+      statusC[ci] = 2;
+      deferredR.push_back(ri);
+      deferredC.push_back(ci);
+      continue;
+    }
+
+    // ---- accept ----------------------------------------------------------
+    compute_l(ci);
+    const VT dk_inv = VT(1.0) / dk;
+    // scale, excluding the diagonal entries
+    {
+      i64 w = 0;
+      for (i32 c : ut_ids)
+        if (c != (i32)ci) {
+          wu[c].val *= dk_inv;
+          ut_ids[w++] = c;
+        }
+      ut_ids.resize(w);
+      w = 0;
+      for (i32 r : l_ids)
+        if (r != (i32)ri) {
+          wl[r].val *= dk_inv;
+          l_ids[w++] = r;
+        }
+      l_ids.resize(w);
+    }
+    i64 nnum = 0, nsp = 0;
+    i64 kept = drop_vec(ut_ids, wu, tau_U, std::abs(ku) * kappa_d, alpha_U,
+                        row_ref[ri], nnum, nsp);
+    for (i64 k = 0; k < kept; ++k) {
+      Uids.push_back(ut_ids[k]);
+      Uvals.push_back(wu[ut_ids[k]].val);
+      cols_of_U.add(ut_ids[k], (i32)step, wu[ut_ids[k]].val);
+    }
+    Uptr.push_back((i64)Uids.size());
+    kept = drop_vec(l_ids, wl, tau_L, std::abs(kl) * kappa_d, alpha_L,
+                    col_ref[ci], nnum, nsp);
+    for (i64 k = 0; k < kept; ++k) {
+      Lids.push_back(l_ids[k]);
+      Lvals.push_back(wl[l_ids[k]].val);
+      rows_of_L.add(l_ids[k], (i32)step, wl[l_ids[k]].val);
+    }
+    Lptr.push_back((i64)Lids.size());
+    res->stats[4] += nnum + nsp;
+    res->stats[3] += nsp;
+
+    dvec.push_back(dk);
+    kap_u.push_back(ku);
+    kap_l.push_back(kl);
+    statusR[ri] = 1;
+    statusC[ci] = 1;
+    ++step;
+  }
+  const i64 m = step;
+  res->m = m;
+  res->stats[0] = (i64)deferredR.size();
+
+  std::vector<i64> ordR, ordC;
+  ordR.reserve(n);
+  ordC.reserve(n);
+  for (i64 p2 = 0; p2 < m2; ++p2)
+    if (statusR[rowcand[p2]] == 1) ordR.push_back(rowcand[p2]);
+  for (i64 p2 = 0; p2 < m2; ++p2)
+    if (statusC[colcand[p2]] == 1) ordC.push_back(colcand[p2]);
+  for (i64 id = m2; id < n; ++id) {
+    ordR.push_back(id);
+    ordC.push_back(id);
+  }
+  for (i64 id : deferredR) ordR.push_back(id);
+  for (i64 id : deferredC) ordC.push_back(id);
+
+  finalize_core<VT>(res, n, m, Ap, Ai, Av, row_ref, col_ref, schur_aL,
+                    schur_aU, ordR, ordC, Lptr, Lids, Lvals, Uptr, Uids,
+                    Uvals, dvec);
   return res;
 }
 
@@ -615,6 +893,28 @@ HT_API void *ht_crout(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   return crout_core<double>(n, m2, Ap, Ai, Av, d0, kappa_d, kappa, tau_L,
                             tau_U, alpha_L, alpha_U, row_ref, col_ref,
                             schur_aL, schur_aU, symmetric);
+}
+
+HT_API void *ht_crout_pivot(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                            const double *Av, double kappa_d, double kappa,
+                            double tau_L, double tau_U, double alpha_L,
+                            double alpha_U, const i64 *row_ref,
+                            const i64 *col_ref, double schur_aL,
+                            double schur_aU, double gamma) {
+  return pivot_crout_core<double>(n, m2, Ap, Ai, Av, kappa_d, kappa, tau_L,
+                                  tau_U, alpha_L, alpha_U, row_ref, col_ref,
+                                  schur_aL, schur_aU, gamma);
+}
+
+HT_API void *ht_crout_pivot_z(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                              const double *Av, double kappa_d, double kappa,
+                              double tau_L, double tau_U, double alpha_L,
+                              double alpha_U, const i64 *row_ref,
+                              const i64 *col_ref, double schur_aL,
+                              double schur_aU, double gamma) {
+  return pivot_crout_core<std::complex<double>>(
+      n, m2, Ap, Ai, (const std::complex<double> *)Av, kappa_d, kappa, tau_L,
+      tau_U, alpha_L, alpha_U, row_ref, col_ref, schur_aL, schur_aU, gamma);
 }
 
 // complex128 arrays passed as interleaved double pairs

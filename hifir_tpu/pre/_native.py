@@ -57,6 +57,14 @@ def _load() -> Optional[ctypes.CDLL]:
                  _I64, _I64, ctypes.c_double, ctypes.c_double, ctypes.c_int]
     lib._has_crout = _bind(lib, "ht_crout", ctypes.c_void_p, crout_sig)
     lib._has_crout_z = _bind(lib, "ht_crout_z", ctypes.c_void_p, crout_sig)
+    pivot_sig = [c, c, _I64, _I32, _F64,
+                 ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                 ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                 _I64, _I64, ctypes.c_double, ctypes.c_double,
+                 ctypes.c_double]
+    lib._has_pivot = _bind(lib, "ht_crout_pivot", ctypes.c_void_p, pivot_sig)
+    lib._has_pivot_z = _bind(lib, "ht_crout_pivot_z", ctypes.c_void_p,
+                             pivot_sig)
     if lib._has_crout:
         _bind(lib, "ht_res_m", c, [ctypes.c_void_p])
         _bind(lib, "ht_res_nnz", c, [ctypes.c_void_p, ctypes.c_int])
@@ -184,8 +192,13 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
         d = np.empty(m, dtype=vdt)
         if m:
             lib.ht_res_copy_d(h, d.view(np.float64))
-        ordf = np.empty(n, dtype=np.int64)
+        # ord holds row and column orderings back to back (they coincide
+        # for the non-pivoting kernel)
+        ordf = np.empty(2 * n, dtype=np.int64)
         lib.ht_res_copy_ord(h, ordf)
+        ordf = ordf.reshape(2, n)
+        if np.array_equal(ordf[0], ordf[1]):
+            ordf = ordf[0]
         stats = np.empty(6, dtype=np.int64)
         lib.ht_res_copy_stats(h, stats)
     finally:
@@ -287,3 +300,58 @@ def defer_probe(A, m0: int, p: np.ndarray, q: np.ndarray):
                        np.ascontiguousarray(p, dtype=np.int64),
                        np.ascontiguousarray(q, dtype=np.int64), diag, mx)
     return diag, mx
+
+
+def has_pivot() -> bool:
+    lib = _load()
+    return bool(lib is not None and getattr(lib, "_has_pivot", False))
+
+
+def crout_pivot(Ahat, m2: int, pars, row_ref, col_ref, schur_aL, schur_aU,
+                gamma: float):
+    """Native rook-pivoting level kernel; same contract as
+    :func:`hifir_tpu.alg.crout_pivot_np.pivot_crout_level_np` with finalize
+    fused (returns independent row/col orderings as a (2, n) array)."""
+    lib = _load()
+    kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = pars
+    n = Ahat.nrows
+    cplx = np.iscomplexobj(Ahat.data)
+    vdt = np.complex128 if cplx else np.float64
+    data = np.ascontiguousarray(Ahat.data, dtype=vdt).view(np.float64)
+    fn = lib.ht_crout_pivot_z if cplx else lib.ht_crout_pivot
+    h = fn(n, m2, Ahat.indptr, Ahat.indices, data,
+           kappa_d, kappa, tau_L, tau_U, alpha_L, alpha_U,
+           np.ascontiguousarray(row_ref, dtype=np.int64),
+           np.ascontiguousarray(col_ref, dtype=np.int64),
+           schur_aL, schur_aU, gamma)
+    if not h:
+        raise RuntimeError("native pivot crout failed")
+    try:
+        m = lib.ht_res_m(h)
+        nm = n - m
+
+        def _mat(what, nrows):
+            nnz = lib.ht_res_nnz(h, what)
+            indptr = np.empty(nrows + 1, dtype=np.int64)
+            indices = np.empty(max(nnz, 1), dtype=np.int32)
+            vals = np.empty(max(nnz, 1), dtype=vdt)
+            lib.ht_res_copy_mat(h, what, indptr, indices,
+                                vals.view(np.float64))
+            return indptr, indices[:nnz], vals[:nnz]
+
+        L = _mat(0, m)
+        U = _mat(1, m)
+        S = _mat(2, nm)
+        E = _mat(3, nm)
+        F = _mat(4, m)
+        d = np.empty(m, dtype=vdt)
+        if m:
+            lib.ht_res_copy_d(h, d.view(np.float64))
+        ordf = np.empty(2 * n, dtype=np.int64)
+        lib.ht_res_copy_ord(h, ordf)
+        ordf = ordf.reshape(2, n)
+        stats = np.empty(6, dtype=np.int64)
+        lib.ht_res_copy_stats(h, stats)
+    finally:
+        lib.ht_res_free(h)
+    return m, L, U, S, E, F, d, ordf, stats

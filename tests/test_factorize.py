@@ -257,3 +257,21 @@ def test_auto_pivot_retry():
     x = M.solve(b)
     xd = np.linalg.solve(D, b)
     np.testing.assert_allclose(x, xd, atol=1e-9 * np.abs(xd).max())
+
+
+def test_native_pivot_matches_anchor():
+    """Native rook-pivoting kernel must reproduce the Python anchor."""
+    from hifir_tpu.options import PIVOTING_ON
+    from hifir_tpu.pre import _native
+
+    if not _native.has_pivot():
+        pytest.skip("native library not built")
+    A = saddle_point_stokes(7)
+    o1 = Options(verbose=0, pivot=PIVOTING_ON, dense_thres=20)
+    o2 = Options(verbose=0, pivot=PIVOTING_ON, dense_thres=20, use_native=0)
+    M1 = HIF().factorize(A, o1)
+    M2 = HIF().factorize(A, o2)
+    assert M1.nnz() == M2.nnz()
+    b = np.random.default_rng(5).standard_normal(A.nrows)
+    np.testing.assert_allclose(M1.solve(b), M2.solve(b), rtol=1e-12,
+                               atol=1e-12)
