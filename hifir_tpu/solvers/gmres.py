@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from ..alg.prec import prec_solve_device
 from ..ops.spmv import ell_matvec
 
-__all__ = ["gmres_hif_device", "fgmres_hifir_device", "ir_apply_device"]
+__all__ = ["gmres_hif_device", "fgmres_hifir_device", "ir_apply_device",
+           "gmres_mrhs_device"]
 
 
 def ir_apply_device(A, levels, tail, b, nirs: int) -> jax.Array:
@@ -169,3 +170,112 @@ def fgmres_hifir_device(A, prec, b, restart: int = 30, rtol: float = 1e-6,
             flag = 0
             break
     return x, flag, it
+
+
+@functools.partial(jax.jit, static_argnames=("restart",))
+def _restart_cycle_mrhs(A, levels, tail, B, X, restart: int):
+    """One batched GMRES(m) restart cycle over R right-hand sides.
+
+    Every Krylov quantity carries a trailing batch axis; the preconditioner
+    apply is the batched multilevel solve, so the whole cycle amortizes
+    gather/loop overheads across the batch exactly like ``solve_mrhs``.
+    Runs all m inner steps (no early exit); returns (X_new, residual
+    estimates per RHS).
+    """
+    from ..alg.prec import prec_solve_mrhs_device
+    from ..ops.spmv import ell_matvec_mrhs
+
+    n, R = B.shape
+    dtype = B.dtype
+    m = restart
+
+    Rsd = B - ell_matvec_mrhs(A, X)
+    beta = jnp.linalg.norm(Rsd, axis=0)                     # (R,)
+    safe = jnp.where(beta > 0, beta, 1.0)
+    V = jnp.zeros((m + 1, n, R), dtype).at[0].set(Rsd / safe)
+    Z = jnp.zeros((m, n, R), dtype)
+    H = jnp.zeros((m + 1, m, R), dtype)
+    cs = jnp.zeros((m, R), dtype)
+    sn = jnp.zeros((m, R), dtype)
+    g = jnp.zeros((m + 1, R), dtype).at[0].set(beta)
+
+    def arnoldi(carry, j):
+        V, Z, H, cs, sn, g = carry
+        Zj = prec_solve_mrhs_device(levels, tail, V[j])
+        W = ell_matvec_mrhs(A, Zj)
+        # batched CGS2
+        mask = (jnp.arange(m + 1) <= j).astype(dtype)[:, None]
+        h1 = jnp.einsum("ink,nk->ik", V.conj(), W) * mask
+        W = W - jnp.einsum("ik,ink->nk", h1, V)
+        h2 = jnp.einsum("ink,nk->ik", V.conj(), W) * mask
+        W = W - jnp.einsum("ik,ink->nk", h2, V)
+        h = h1 + h2
+        hj1 = jnp.linalg.norm(W, axis=0)                    # (R,)
+        Hcol = h.at[j + 1].set(hj1)
+        V = V.at[j + 1].set(jnp.where(hj1 > 0, W / jnp.where(hj1 > 0, hj1,
+                                                             1.0), W))
+        Z = Z.at[j].set(Zj)
+
+        def rot(i, c):
+            t = cs[i] * c[i] + sn[i] * c[i + 1]
+            c = c.at[i + 1].set(-jnp.conj(sn[i]) * c[i]
+                                + jnp.conj(cs[i]) * c[i + 1])
+            return c.at[i].set(t)
+
+        Hcol = jax.lax.fori_loop(0, j, rot, Hcol)
+        a = Hcol[j]
+        bb = Hcol[j + 1]
+        rho = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(bb) ** 2)
+        c_new = jnp.where(rho > 0, jnp.conj(a) / jnp.where(rho > 0, rho, 1.0),
+                          1.0)
+        s_new = jnp.where(rho > 0, jnp.conj(bb) / jnp.where(rho > 0, rho, 1.0),
+                          0.0)
+        Hcol = Hcol.at[j].set(rho.astype(dtype)).at[j + 1].set(0.0)
+        H = H.at[:, j].set(Hcol)
+        cs = cs.at[j].set(c_new)
+        sn = sn.at[j].set(s_new)
+        g = g.at[j + 1].set(-jnp.conj(s_new) * g[j])
+        g = g.at[j].set(c_new * g[j])
+        return (V, Z, H, cs, sn, g), None
+
+    (V, Z, H, cs, sn, g), _ = jax.lax.scan(
+        arnoldi, (V, Z, H, cs, sn, g), jnp.arange(m))
+    # batched back substitution on the m x m upper triangular systems; per
+    # lane, columns past a zero pivot (Krylov breakdown = exact convergence)
+    # are masked out with a unit diagonal and zero rhs
+    Hm = jnp.moveaxis(H[:m, :m], -1, 0)                     # (R, m, m)
+    diag_ok = jnp.abs(jnp.diagonal(Hm, axis1=1, axis2=2)) > 0  # (R, m)
+    used = jnp.cumprod(diag_ok, axis=1).astype(bool)           # (R, m)
+    msk2 = used[:, :, None] & used[:, None, :]
+    Hm = jnp.where(msk2, Hm, 0.0) + jnp.where(
+        used, 0.0, 1.0)[:, :, None] * jnp.eye(m, dtype=dtype)[None]
+    grhs = jnp.where(used, jnp.moveaxis(g[:m], -1, 0), 0.0)
+    y = jax.vmap(lambda Hk, gk: jax.scipy.linalg.solve_triangular(
+        Hk, gk, lower=False))(Hm, grhs)                       # (R, m)
+    X_new = X + jnp.einsum("jnk,kj->nk", Z, y)
+    res = jnp.abs(g[m])                                      # (R,)
+    return X_new, res
+
+
+def gmres_mrhs_device(A, prec, B, restart: int = 30, rtol: float = 1e-6,
+                      maxit: int = 500) -> Tuple[jax.Array, int, int]:
+    """Batched right-preconditioned GMRES over many right-hand sides.
+
+    Capability the reference cannot express (its mrhs is a compile-time
+    array of <= 4): all RHS share every kernel launch, so the per-RHS cost
+    approaches the batched M-solve throughput.  Returns (X, flag, cycles).
+    """
+    B = jnp.asarray(B)
+    levels, tail = prec.operands()
+    bnrm = jnp.linalg.norm(B, axis=0)
+    bsafe = jnp.where(bnrm > 0, bnrm, 1.0)
+    X = jnp.zeros_like(B)
+    cycles = 0
+    flag = 1
+    while cycles * restart < maxit:
+        X, res = _restart_cycle_mrhs(A, levels, tail, B, X, restart)
+        cycles += 1
+        if float(jnp.max(res / bsafe)) <= rtol:
+            flag = 0
+            break
+    return X, flag, cycles

@@ -185,3 +185,25 @@ def test_device_mmultiply():
     x = np.random.default_rng(2).standard_normal(A.nrows)
     yd = np.asarray(dp.mmultiply(x))
     np.testing.assert_allclose(yd, M.mmultiply(x), rtol=1e-10, atol=1e-12)
+
+
+def test_batched_gmres_mrhs():
+    """Batched multi-RHS device GMRES (capability beyond the reference's
+    compile-time Nrhs<=4), incl. a degenerate zero RHS lane."""
+    from hifir_tpu.solvers.gmres import gmres_mrhs_device
+
+    A = convdiff2d(12)
+    M = _factorized(A)
+    dp = M.to_device()
+    Aell = sliced_ell_from_csr(A)
+    B = np.random.default_rng(0).standard_normal((A.nrows, 6))
+    B[:, 3] = 0.0
+    X, flag, cycles = gmres_mrhs_device(Aell, dp, B, restart=20, rtol=1e-8)
+    assert flag == 0
+    X = np.asarray(X)
+    for k in range(6):
+        nb = np.linalg.norm(B[:, k])
+        if nb == 0:
+            assert np.abs(X[:, k]).max() == 0.0
+        else:
+            assert np.linalg.norm(B[:, k] - A.matvec(X[:, k])) / nb <= 1e-8
