@@ -231,9 +231,13 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         res = pivot_crout_level_np(Ahat, m2, level, opts, row_ref, col_ref)
     elif use_native:
         pars = determine_fac_pars(opts, level)
+        # the LDL^T mirror (U = L^T) is valid for real symmetric and
+        # complex *symmetric* input; Hermitian complex needs U = conj(L)^T,
+        # so complex input takes the general LDU path
+        symm_kernel = bool(opts.is_symm) and Ahat.data.dtype == np.float64
         (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,
          nstats) = _native.crout(Ahat, d0, m2, pars, row_ref, col_ref,
-                                 a_L, a_U, symmetric=bool(opts.is_symm))
+                                 a_L, a_U, symmetric=symm_kernel)
         res = CroutResult(
             m=m, n=n,
             L_B=CSR(m, m, *Ltrip), d=dvec_n, U_B=CSR(m, m, *Utrip),
