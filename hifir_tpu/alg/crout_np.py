@@ -78,9 +78,33 @@ def _drop(ids: np.ndarray, vals: np.ndarray, tau: float, kap: float,
     return ids, vals, n_num, n_space
 
 
+def _drop_tail(ids: np.ndarray, vals: np.ndarray, tau: float, kap: float,
+               alpha: float, nnz_ref: int, start_size: int):
+    """Dropping for the *tail* part of l in the pattern-symmetric mirror mode:
+    the mirrored leading entries count against the space cap (ref
+    ``apply_space_dropping`` start_size arg, ``thresholds.hpp:72-86``; call
+    site ``factor.hpp:957-963``)."""
+    n0 = ids.size
+    if tau > 0.0 and kap > 0.0:
+        keep = np.abs(vals) > tau / kap
+        ids, vals = ids[keep], vals[keep]
+    n_num = n0 - ids.size
+    n_space = 0
+    if alpha > 0.0:
+        cap_total = int(math.ceil(alpha * nnz_ref))
+        if start_size >= cap_total:
+            cap_total = start_size + 1
+        cap = cap_total - start_size
+        if ids.size > cap:
+            sel = np.argpartition(np.abs(vals), ids.size - cap)[ids.size - cap:]
+            n_space = ids.size - cap
+            ids, vals = ids[sel], vals[sel]
+    return ids, vals, n_num, n_space
+
+
 def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
-                   opts: Options, row_ref: np.ndarray, col_ref: np.ndarray
-                   ) -> CroutResult:
+                   opts: Options, row_ref: np.ndarray, col_ref: np.ndarray,
+                   symm_mode: int = 0) -> CroutResult:
     """Factorize the leading block of a permuted/scaled level matrix.
 
     Parameters
@@ -96,9 +120,24 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
     row_ref / col_ref:
         Per-id nnz references for space dropping: ``row_sizes[p[id]]`` and
         ``col_sizes[q[id]]`` in reference terms (ref factor.hpp:939,956).
+    symm_mode:
+        0 = general LDU.  2 = pattern-symmetric *mirror* mode, matching the
+        reference's ``level_factorize<IsSymm=true>`` instantiation (used for
+        levels <= 2 when the pattern is >= nzp_thres symmetric and q == p,
+        s == t from symmetric preprocessing): only ut is computed; the
+        leading-block part of each L column is the mirror of the kept ut
+        (so ``L_B == U_B^T``); only the tail part of l (static tail +
+        dynamically deferred ids) is computed and dropped, with the mirrored
+        count charged against the space cap; ``kappa_l = kappa_ut``; the
+        trailing diagonal update uses ut alone (ref ``Crout.hpp:613-630``,
+        ``compute_l<IsSymm>`` ``Crout.hpp:271-356``, ``_load_acol<IsSymm>``
+        ``Crout.hpp:803-850``, call sites ``factor.hpp:903-983``).  On
+        deferral the mirrored entries of the deferred id spill into the tail
+        views (the reference gets this from its index-rotation machinery).
     """
     n = Ahat.nrows
     dtype = Ahat.data.dtype
+    mirror = symm_mode == 2
     kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = determine_fac_pars(
         opts, level)
 
@@ -120,6 +159,18 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
     kappa_u: List[complex] = []
     kappa_l: List[complex] = []
     deferred: List[int] = []
+    # mirror mode: tail view of each L column (ids >= m2 or deferred); the
+    # leading part is implicit (mirror of the kept ut => L_B = U_B^T)
+    Ltail_r: List[List[int]] = []
+    Ltail_v: List[List[complex]] = []
+
+    def _spill_mirror(idv: int) -> None:
+        """On deferral of a pending id, its mirrored L entries move from the
+        leading parts to the tail views of their columns (the reference's
+        defer_entry index rotation achieves the same, Crout.hpp:681)."""
+        for jj, vv in zip(cols_of_U_j[idv], cols_of_U_v[idv]):
+            Ltail_r[jj].append(idv)
+            Ltail_v[jj].append(vv)
 
     diag_defers = cond_defers = 0
     space_drops = total_drops = 0
@@ -148,16 +199,21 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
             diag_defers += 1
             status[idk] = _DEFERRED
             deferred.append(idk)
+            if mirror:
+                _spill_mirror(idk)
             continue
         if step:
             ku = _kappa_new(cols_of_U_j, cols_of_U_v, kappa_u, idk)
-            kl = _kappa_new(rows_of_L_j, rows_of_L_v, kappa_l, idk)
+            kl = ku if mirror else _kappa_new(rows_of_L_j, rows_of_L_v,
+                                              kappa_l, idk)
         else:
             ku = kl = 1.0
         if abs(ku) > kappa or abs(kl) > kappa:
             cond_defers += 1
             status[idk] = _DEFERRED
             deferred.append(idk)
+            if mirror:
+                _spill_mirror(idk)
             continue
 
         # --- accepted: compute ut = Ahat[idk, rest] - L[idk,:] D U[:, rest]
@@ -170,7 +226,11 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
                 buf_u[c] = v
                 tag_u[c] = step
                 ut_list.append(c)
-        for j, lkj in zip(rows_of_L_j[idk], rows_of_L_v[idk]):
+        # in mirror mode L[idk, :] (leading row of a pending id) is the
+        # mirror of U[:, idk], so the adjacency to traverse is cols_of_U
+        row_adj_j = cols_of_U_j[idk] if mirror else rows_of_L_j[idk]
+        row_adj_v = cols_of_U_v[idk] if mirror else rows_of_L_v[idk]
+        for j, lkj in zip(row_adj_j, row_adj_v):
             ld = lkj * dvec[j]
             for c, uv in zip(U_ids[j], U_vals[j]):
                 c = int(c)
@@ -184,18 +244,25 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
                     buf_u[c] -= ld * uv
 
         # --- compute l = Ahat[rest, idk] - L[rest,:] D U[:, idk]
-        # (ref Crout.hpp:271) ---
+        # (ref Crout.hpp:271); mirror mode computes only the tail part
+        # (ids >= m2 or deferred) against the tail views of L ---
         l_list: List[int] = []
         s_, e_ = Acsc.indptr[idk], Acsc.indptr[idk + 1]
         for r, v in zip(Acsc.indices[s_:e_], Acsc.data[s_:e_]):
             r = int(r)
-            if status[r] != _ACCEPTED and r != idk:
-                buf_l[r] = v
-                tag_l[r] = step
-                l_list.append(r)
+            if mirror:
+                if r < m2 and status[r] != _DEFERRED:
+                    continue
+            elif status[r] == _ACCEPTED or r == idk:
+                continue
+            buf_l[r] = v
+            tag_l[r] = step
+            l_list.append(r)
         for j, ujk in zip(cols_of_U_j[idk], cols_of_U_v[idk]):
             du = dvec[j] * ujk
-            for r, lv in zip(L_ids[j], L_vals[j]):
+            tail_r = Ltail_r[j] if mirror else L_ids[j]
+            tail_v = Ltail_v[j] if mirror else L_vals[j]
+            for r, lv in zip(tail_r, tail_v):
                 r = int(r)
                 if status[r] == _ACCEPTED or r == idk:
                     continue
@@ -210,14 +277,21 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         # order per factor.hpp:906-931: scale ut, update diag, scale l) ---
         for c in ut_list:
             buf_u[c] /= dk
-        # d[c] -= ut_scaled[c] * l_unscaled[c] for pending ids in the block
-        if len(ut_list) <= len(l_list):
-            it, other_tag = ut_list, tag_l
+        if mirror:
+            # d[c] -= dk * ut_scaled[c]^2 (ref update_diag<true>,
+            # Crout.hpp:613-630; no conjugation — symmetric, not Hermitian)
+            for c in ut_list:
+                if c < m2 and status[c] == _PENDING:
+                    d[c] -= dk * buf_u[c] * buf_u[c]
         else:
-            it, other_tag = l_list, tag_u
-        for c in it:
-            if c < m2 and status[c] == _PENDING and other_tag[c] == step:
-                d[c] -= buf_u[c] * buf_l[c]
+            # d[c] -= ut_scaled[c] * l_unscaled[c] for pending ids in block
+            if len(ut_list) <= len(l_list):
+                it, other_tag = ut_list, tag_l
+            else:
+                it, other_tag = l_list, tag_u
+            for c in it:
+                if c < m2 and status[c] == _PENDING and other_tag[c] == step:
+                    d[c] -= buf_u[c] * buf_l[c]
         for r in l_list:
             buf_l[r] /= dk
 
@@ -232,9 +306,17 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
 
         l_ids = np.array(l_list, dtype=np.int64)
         l_vals = buf_l[l_ids] if l_ids.size else np.empty(0, dtype=dtype)
-        l_ids, l_vals, nn, ns = _drop(l_ids, l_vals, tau_L,
-                                      abs(kl) * kappa_d, alpha_L,
-                                      int(col_ref[idk]))
+        if mirror:
+            n_lead = int(np.count_nonzero(
+                (ut_ids < m2) & (status[ut_ids] == _PENDING)
+            )) if ut_ids.size else 0
+            l_ids, l_vals, nn, ns = _drop_tail(l_ids, l_vals, tau_L,
+                                               abs(kl) * kappa_d, alpha_L,
+                                               int(col_ref[idk]), n_lead)
+        else:
+            l_ids, l_vals, nn, ns = _drop(l_ids, l_vals, tau_L,
+                                          abs(kl) * kappa_d, alpha_L,
+                                          int(col_ref[idk]))
         total_drops += nn + ns
         space_drops += ns
 
@@ -244,11 +326,15 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         for c, v in zip(ut_ids, ut_vals):
             cols_of_U_j[c].append(step)
             cols_of_U_v[c].append(v)
-        L_ids.append(l_ids)
-        L_vals.append(l_vals)
-        for r, v in zip(l_ids, l_vals):
-            rows_of_L_j[r].append(step)
-            rows_of_L_v[r].append(v)
+        if mirror:
+            Ltail_r.append(list(l_ids))
+            Ltail_v.append(list(l_vals))
+        else:
+            L_ids.append(l_ids)
+            L_vals.append(l_vals)
+            for r, v in zip(l_ids, l_vals):
+                rows_of_L_j[r].append(step)
+                rows_of_L_v[r].append(v)
         dvec.append(dk)
         kappa_u.append(ku)
         kappa_l.append(kl)
@@ -288,6 +374,17 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
                     np.concatenate(vals))
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=dtype))
+
+    if mirror:
+        # materialize L columns: leading part = mirror of the accepted kept
+        # ut entries (=> L_B = U_B^T), tail part = the tail views
+        for j in range(m):
+            acc = status[U_ids[j]] == _ACCEPTED if U_ids[j].size else \
+                np.zeros(0, dtype=bool)
+            L_ids.append(np.concatenate([
+                U_ids[j][acc], np.array(Ltail_r[j], dtype=np.int64)]))
+            L_vals.append(np.concatenate([
+                U_vals[j][acc], np.array(Ltail_v[j], dtype=dtype)]))
 
     lr, lc, lv = _assemble(L_ids, L_vals, primary_is_col=True)
     ur, uc, uv = _assemble(U_ids, U_vals, primary_is_col=False)

@@ -122,12 +122,17 @@ def _compute_schur(C_tail, L_E: CSR, d: np.ndarray, U_F: CSR) -> CSR:
 
 def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
                     row_sizes: np.ndarray, col_sizes: np.ndarray,
-                    stats: np.ndarray, force_pivot: bool = False
+                    stats: np.ndarray, force_pivot: bool = False,
+                    sym_block: bool = False
                     ) -> Tuple[LevelPrec, Optional[CSR], np.ndarray, np.ndarray]:
     """One level end-to-end.  Returns ``(prec, S_next, row_sizes, col_sizes)``;
     ``S_next`` is ``None`` when this is the last level (dense tail attached to
     ``prec.dense_matrix``).  ``force_pivot`` selects the rook-pivoting kernel
-    (the AUTO retry path, ref builder.hpp:552-567)."""
+    (the AUTO retry path, ref builder.hpp:552-567).  ``sym_block`` is the
+    reference's ``IsSymm`` template flag (builder.hpp:534-535: level 1 with a
+    user-declared symmetric leading block ``m0 > 0``): symmetric
+    preprocessing is forced and the Crout kernel runs in mirror mode
+    (``crout_level_np(symm_mode=2)``)."""
     import scipy.sparse as sp
 
     n = A.nrows
@@ -135,7 +140,7 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         raise ValueError("only square systems are supported")
 
     # --- symmetric-preprocessing decision (ref factor.hpp:588-611) ---------
-    if opts.is_symm:
+    if opts.is_symm or sym_block:
         do_symm_pre = True
     elif opts.symm_pre_lvls < 0:
         if level <= -opts.symm_pre_lvls:
@@ -231,10 +236,17 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         res = pivot_crout_level_np(Ahat, m2, level, opts, row_ref, col_ref)
     elif use_native:
         pars = determine_fac_pars(opts, level)
-        # the LDL^T mirror (U = L^T) is valid for real symmetric and
-        # complex *symmetric* input; Hermitian complex needs U = conj(L)^T,
-        # so complex input takes the general LDU path
-        symm_kernel = bool(opts.is_symm) and Ahat.data.dtype == np.float64
+        # kernel mode: 1 = LDL^T mirror (U = L^T), valid for real symmetric
+        # input under opts.is_symm (Hermitian complex needs U = conj(L)^T,
+        # so complex is_symm takes the general path); 2 = symmetric
+        # leading-block mirror matching the reference's
+        # level_factorize<IsSymm=true> dispatch (builder.hpp:534,546-567,
+        # taken only when the user declares a symmetric leading block with
+        # m0 > 0 at level 1); 0 = general LDU
+        if bool(opts.is_symm):
+            symm_kernel = 1 if Ahat.data.dtype == np.float64 else 0
+        else:
+            symm_kernel = 2 if sym_block else 0
         (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,
          nstats) = _native.crout(Ahat, d0, m2, pars, row_ref, col_ref,
                                  a_L, a_U, symmetric=symm_kernel)
@@ -248,7 +260,9 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         S_native = CSR(n - m, n - m, *Strip)
         EF_native = (CSR(n - m, m, *Etrip), CSR(m, n - m, *Ftrip))
     else:
-        res = crout_level_np(Ahat, d0, m2, level, opts, row_ref, col_ref)
+        res = crout_level_np(Ahat, d0, m2, level, opts, row_ref, col_ref,
+                             symm_mode=2 if (sym_block
+                                             and not opts.is_symm) else 0)
     m = res.m
 
     # --- post-flag analysis (ref factor.hpp:1032-1050) ----------------------
@@ -290,6 +304,7 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
             # permuted-by-final-order view of Ahat
             if Ahat_s is None:
                 Ahat_s = Ahat.to_scipy()
+                Ahat_s.sort_indices()  # native permute_scale emits unsorted
             Ah2 = Ahat_s[ord_rows, :][:, ord_cols].tocsr()
             # L_E / U_F dropping (ref factor.hpp:1152-1181)
             L_E = _drop_offsets(res.L_E, row_sizes[p_out[m:]], a_L)

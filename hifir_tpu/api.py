@@ -102,6 +102,9 @@ class HIF:
             A.check_validity()
         if A.nrows != A.ncols:
             hif_error("only square systems are supported")
+        if not 0 <= m0 <= A.nrows:
+            hif_error("m0 (symmetric leading block size) must be in [0, n]; "
+                      "got %d for n=%d" % (m0, A.nrows))
         self.clear()
         self._nrows, self._ncols = A.nrows, A.ncols
 
@@ -115,9 +118,12 @@ class HIF:
         input_nnz = A.nnz
         while S is not None:
             m_in = S.nrows if (level > 1 or not m0) else m0
+            # ref builder.hpp:534-535: a user-declared leading block (m0 > 0)
+            # at level 1 selects the symmetric-block mirror factorization
             prec, S, row_sizes, col_sizes = level_factorize(
                 S, m_in if m_in else S.nrows, N, level, opts,
-                row_sizes, col_sizes, self.stats_)
+                row_sizes, col_sizes, self.stats_,
+                sym_block=(level == 1 and m0 > 0))
             self.precs.append(prec)
             level += 1
         # single-precision storage mode (opts.dtype)

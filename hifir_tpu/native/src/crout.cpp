@@ -58,11 +58,13 @@ struct Result {
 };
 
 // dual dropping on a scatter-accumulated sparse vector
-// (ref alg/thresholds.hpp:49,72); keeps ids[0..kept) (unsorted)
+// (ref alg/thresholds.hpp:49,72); keeps ids[0..kept) (unsorted).
+// start_size > 0 charges already-committed (mirrored) entries against the
+// space cap (ref apply_space_dropping start_size arg, thresholds.hpp:72-86)
 template <class Buf>
 inline i64 drop_vec(std::vector<i32> &ids, const Buf &buf, double tau,
                     double kap, double alpha, i64 nnz_ref, i64 &n_num,
-                    i64 &n_space) {
+                    i64 &n_space, i64 start_size = 0) {
   i64 sz = (i64)ids.size();
   if (tau > 0.0 && kap > 0.0) {
     const double coeff = tau / kap;
@@ -75,6 +77,8 @@ inline i64 drop_vec(std::vector<i32> &ids, const Buf &buf, double tau,
   }
   if (alpha > 0.0) {
     i64 cap = (i64)std::ceil(alpha * (double)nnz_ref);
+    if (start_size >= cap) cap = start_size + 1;
+    cap -= start_size;
     if (cap < 1) cap = 1;
     if (sz > cap) {
       std::nth_element(ids.begin(), ids.begin() + cap - 1, ids.end(),
@@ -105,6 +109,16 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   using LD = typename std::conditional<
       std::is_same<VT, std::complex<double>>::value,
       std::complex<long double>, long double>::type;
+  const bool prof = std::getenv("HT_PROFILE") != nullptr;
+  auto tprev = std::chrono::steady_clock::now();
+  auto mark = [&](const char *what) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[ht_finalize] %s=%.0fms\n", what,
+                 std::chrono::duration<double, std::milli>(now - tprev)
+                     .count());
+    tprev = now;
+  };
   // position maps for (possibly distinct) row/col orderings
   std::vector<i64> posR(n), posC(n);
   for (i64 k = 0; k < n; ++k) posR[ordR[k]] = k;
@@ -163,6 +177,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       }
     }
   }
+  mark("EF_extract");
 
   // ---- split U rows into U_B (CSR, cols < m) and U_F^T rows; L columns into
   // L_B (transposed to CSR) and L_E rows ----
@@ -200,8 +215,34 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         }
       }
   }
-  // sort U_B rows by column (O(nnz) counting transposes)
-  ht::sort_csr_rows<VT>(m, m, res->Up, res->Ui, res->Uv);
+  // sort U_B rows by column: space dropping caps each row at
+  // ceil(alpha*nnz_ref), so small cache-hot per-row sorts beat the two
+  // full counting-transpose passes over m-wide scatter arrays
+  {
+    std::vector<std::pair<i32, VT>> rb;
+    for (i64 j = 0; j < m; ++j) {
+      const i64 a = res->Up[j], b = res->Up[j + 1];
+      if (b - a < 2) continue;
+      bool sorted = true;
+      for (i64 k = a + 1; k < b; ++k)
+        if (res->Ui[k] < res->Ui[k - 1]) {
+          sorted = false;
+          break;
+        }
+      if (sorted) continue;
+      rb.assign(b - a, {});
+      for (i64 k = a; k < b; ++k) rb[k - a] = {res->Ui[k], res->Uv[k]};
+      std::sort(rb.begin(), rb.end(),
+                [](const std::pair<i32, VT> &x, const std::pair<i32, VT> &y) {
+                  return x.first < y.first;
+                });
+      for (i64 k = a; k < b; ++k) {
+        res->Ui[k] = rb[k - a].first;
+        res->Uv[k] = rb[k - a].second;
+      }
+    }
+  }
+  mark("U_split_sort");
 
   // L columns -> split into L_B (m x m, want CSR) and L_E ((n-m) x m CSR)
   // first count rows
@@ -238,6 +279,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   }
 
   res->d = dvec;
+  mark("L_split");
 
   // ---- L_E / U_F dropping (ref Schur.hpp:61-190) ----
   if (nm) {
@@ -325,6 +367,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       UFp.swap(newp);
     }
 
+    mark("LE_UF_drop");
     // ---- Schur: S = Ahat[tail, tail] - L_E D U_F (ref Schur.hpp:214) ----
     // row i of S: C row = Ahat row ord[m+i] restricted to tail columns
     std::vector<LD> acc(nm, LD(0.0L));
@@ -363,6 +406,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       }
       res->Sp[i + 1] = (i64)res->Si.size();
     }
+    mark("Schur");
   } else {
     res->Sp.assign(1, 0);
   }
@@ -381,6 +425,18 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   auto *res = new Result<VT>();
   res->n = n;
 
+  // symmetric: 0 = general LDU; 1 = LDL^T (opts.is_symm, U mirrored from L
+  // in full); 2 = pattern-symmetric *mirror* mode matching the reference's
+  // level_factorize<IsSymm=true> (levels <= 2 with >= nzp_thres pattern
+  // symmetry and q == p, s == t): only ut is computed, the leading part of
+  // each L column is the mirror of the kept ut (L_B = U_B^T), only the tail
+  // part of l (ids >= m2 or deferred) is computed against tail views of L,
+  // kappa_l = kappa_ut, and the trailing diagonal update uses ut alone
+  // (ref Crout.hpp:271-356,613-630,803-850; factor.hpp:903-983).  The
+  // Python anchor for mode 2 is crout_level_np(..., symm_mode=2).
+  const bool ldlt = symmetric == 1;
+  const bool mir = symmetric == 2;
+
   // CSC of Ahat
   std::vector<i64> Cp;
   std::vector<i32> Ci;
@@ -390,7 +446,16 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   std::vector<VT> d(d0, d0 + m2);
   std::vector<unsigned char> status(n, 0);  // 0 pending 1 accepted 2 deferred
   const i64 rsv = Ap[n] * 4 + 16;
-  Adj<VT> rows_of_L(n, rsv), cols_of_U(n, rsv);
+  Adj<VT> rows_of_L(mir ? 0 : n, mir ? 0 : rsv), cols_of_U(n, rsv);
+  // mode-2 tail views of L columns, keyed by step j; node.step holds the
+  // row id (the reference's symm_update_lstart L_offsets play this role)
+  Adj<VT> tail_of_L(mir ? m2 + 1 : 0, mir ? (Ap[n] + 16) : 0);
+  auto spill_mirror = [&](i64 idv) {
+    // on deferral the mirrored entries of idv move from the (implicit)
+    // leading parts into the tail views (ref defer_entry index rotation)
+    for (i32 e = cols_of_U.head[idv]; e >= 0; e = cols_of_U.pool[e].nxt)
+      tail_of_L.add(cols_of_U.pool[e].step, (i32)idv, cols_of_U.pool[e].val);
+  };
 
   // factor storage: per accepted step; Lend/Uend track the live region of
   // each row -- consumed (accepted) entries are swapped to the tail so the
@@ -416,157 +481,201 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       ++res->stats[1];
       status[idk] = 2;
       deferred.push_back(idk);
+      if (mir) spill_mirror(idk);
       continue;
     }
     VT ku = VT(1.0), kl = VT(1.0);
     if (step) {
       // incremental inverse-norm estimates (ref Crout.hpp:486); for the
-      // symmetric LDL^T kernel kappa_u == kappa_l (ref factor.hpp:818-820)
+      // symmetric LDL^T kernel kappa_u == kappa_l (ref factor.hpp:818-820),
+      // and the mode-2 mirror reuses kappa_ut (ref factor.hpp:858-860)
       VT sum = VT(0.0);
-      if (!symmetric) {
+      if (!ldlt) {
         for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt)
           sum += kap_u[cols_of_U.pool[e].step] * cols_of_U.pool[e].val;
         const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
         ku = std::abs(k1) < std::abs(k2) ? k2 : k1;
       }
-      sum = VT(0.0);
-      for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt)
-        sum += kap_l[rows_of_L.pool[e].step] * rows_of_L.pool[e].val;
-      {
+      if (ldlt || !mir) {
+        sum = VT(0.0);
+        for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt)
+          sum += kap_l[rows_of_L.pool[e].step] * rows_of_L.pool[e].val;
         const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
         kl = std::abs(k1) < std::abs(k2) ? k2 : k1;
       }
-      if (symmetric) ku = kl;
+      if (ldlt) ku = kl;
+      if (mir) kl = ku;
     }
     if (std::abs(ku) > kappa || std::abs(kl) > kappa) {
       ++res->stats[2];
       status[idk] = 2;
       deferred.push_back(idk);
+      if (mir) spill_mirror(idk);
       continue;
     }
 
-    // ---- compute ut (ref Crout.hpp:169); skipped for LDL^T (U = L^T) ----
+    // ---- compute ut (ref Crout.hpp:169); skipped for LDL^T (U = L^T).
+    // For a pending idk the leading L row mirrors the U column, so mode 2
+    // traverses cols_of_U in place of rows_of_L ----
     ut_ids.clear();
-    if (!symmetric)
-    for (i64 k = Ap[idk]; k < Ap[idk + 1]; ++k) {
-      const i32 c = Ai[k];
-      if (status[c] != 1 && c != idk) {
-        wu[c].val = Av[k];
-        wu[c].tag = step;
-        ut_ids.push_back(c);
-      }
-    }
-    if (!symmetric)
-    for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt) {
-      const i32 j = rows_of_L.pool[e].step;
-      const VT ld = rows_of_L.pool[e].val * dvec[j];
-      i64 k = Uptr[j], end = Uend[j];
-      while (k < end) {
-        const i32 c = Uids[k];
-        if (status[c] == 1) {  // consumed: swap out of the live region
-          --end;
-          std::swap(Uids[k], Uids[end]);
-          std::swap(Uvals[k], Uvals[end]);
-          continue;
+    if (!ldlt) {
+      for (i64 k = Ap[idk]; k < Ap[idk + 1]; ++k) {
+        const i32 c = Ai[k];
+        if (status[c] != 1 && c != idk) {
+          wu[c].val = Av[k];
+          wu[c].tag = step;
+          ut_ids.push_back(c);
         }
-        if (c != idk) {
-          if (wu[c].tag != step) {
-            wu[c].val = -ld * Uvals[k];
-            wu[c].tag = step;
-            ut_ids.push_back(c);
-          } else
-            wu[c].val -= ld * Uvals[k];
-        }
-        ++k;
       }
-      Uend[j] = end;
+      const Adj<VT> &radj = mir ? cols_of_U : rows_of_L;
+      for (i32 e = radj.head[idk]; e >= 0; e = radj.pool[e].nxt) {
+        const i32 j = radj.pool[e].step;
+        const VT ld = radj.pool[e].val * dvec[j];
+        i64 k = Uptr[j], end = Uend[j];
+        while (k < end) {
+          const i32 c = Uids[k];
+          if (status[c] == 1) {  // consumed: swap out of the live region
+            --end;
+            std::swap(Uids[k], Uids[end]);
+            std::swap(Uvals[k], Uvals[end]);
+            continue;
+          }
+          if (c != idk) {
+            if (wu[c].tag != step) {
+              wu[c].val = -ld * Uvals[k];
+              wu[c].tag = step;
+              ut_ids.push_back(c);
+            } else
+              wu[c].val -= ld * Uvals[k];
+          }
+          ++k;
+        }
+        Uend[j] = end;
+      }
     }
 
-    // ---- compute l (ref Crout.hpp:271) ----
+    // ---- compute l (ref Crout.hpp:271); mode 2 computes only the tail
+    // part (ids >= m2 or deferred) against the tail views of L ----
     l_ids.clear();
     for (i64 k = Cp[idk]; k < Cp[idk + 1]; ++k) {
       const i32 r = Ci[k];
-      if (status[r] != 1 && r != idk) {
+      if (mir ? (r >= m2 || status[r] == 2)
+              : (status[r] != 1 && r != idk)) {
         wl[r].val = Cv[k];
         wl[r].tag = step;
         l_ids.push_back(r);
       }
     }
-    for (i32 e = symmetric ? rows_of_L.head[idk] : cols_of_U.head[idk];
-         e >= 0;
-         e = symmetric ? rows_of_L.pool[e].nxt : cols_of_U.pool[e].nxt) {
-      const i32 j = symmetric ? rows_of_L.pool[e].step
-                              : cols_of_U.pool[e].step;
-      const VT du = dvec[j] * (symmetric ? rows_of_L.pool[e].val
-                                         : cols_of_U.pool[e].val);
-      i64 k = Lptr[j], end = Lend[j];
-      while (k < end) {
-        const i32 r = Lids[k];
-        if (status[r] == 1) {
-          --end;
-          std::swap(Lids[k], Lids[end]);
-          std::swap(Lvals[k], Lvals[end]);
-          continue;
-        }
-        if (r != idk) {
+    if (mir) {
+      for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt) {
+        const i32 j = cols_of_U.pool[e].step;
+        const VT du = dvec[j] * cols_of_U.pool[e].val;
+        for (i32 e2 = tail_of_L.head[j]; e2 >= 0;
+             e2 = tail_of_L.pool[e2].nxt) {
+          const i32 r = tail_of_L.pool[e2].step;  // row id
           if (wl[r].tag != step) {
-            wl[r].val = -du * Lvals[k];
+            wl[r].val = -du * tail_of_L.pool[e2].val;
             wl[r].tag = step;
             l_ids.push_back(r);
           } else
-            wl[r].val -= du * Lvals[k];
+            wl[r].val -= du * tail_of_L.pool[e2].val;
         }
-        ++k;
       }
-      Lend[j] = end;
+    } else {
+      for (i32 e = ldlt ? rows_of_L.head[idk] : cols_of_U.head[idk];
+           e >= 0;
+           e = ldlt ? rows_of_L.pool[e].nxt : cols_of_U.pool[e].nxt) {
+        const i32 j = ldlt ? rows_of_L.pool[e].step
+                           : cols_of_U.pool[e].step;
+        const VT du = dvec[j] * (ldlt ? rows_of_L.pool[e].val
+                                      : cols_of_U.pool[e].val);
+        i64 k = Lptr[j], end = Lend[j];
+        while (k < end) {
+          const i32 r = Lids[k];
+          if (status[r] == 1) {
+            --end;
+            std::swap(Lids[k], Lids[end]);
+            std::swap(Lvals[k], Lvals[end]);
+            continue;
+          }
+          if (r != idk) {
+            if (wl[r].tag != step) {
+              wl[r].val = -du * Lvals[k];
+              wl[r].tag = step;
+              l_ids.push_back(r);
+            } else
+              wl[r].val -= du * Lvals[k];
+          }
+          ++k;
+        }
+        Lend[j] = end;
+      }
     }
 
     // ---- scale ut, update trailing diag, scale l (ref factor.hpp:906-931)
     const VT dk_inv = VT(1.0) / dk;
-    if (symmetric) {
+    if (ldlt) {
       for (i32 c : l_ids)
         if (c < m2 && status[c] == 0)
           d[c] -= wl[c].val * wl[c].val * dk_inv;
       for (i32 r : l_ids) wl[r].val *= dk_inv;
       // mirror for the dropping below: ut = l
-    } else {
-    for (i32 c : ut_ids) wu[c].val *= dk_inv;
-    if (ut_ids.size() <= l_ids.size()) {
+    } else if (mir) {
+      // d[c] -= dk * ut_scaled[c]^2 (ref update_diag<true>,
+      // Crout.hpp:613-630; no conjugation — symmetric, not Hermitian)
+      for (i32 c : ut_ids) wu[c].val *= dk_inv;
       for (i32 c : ut_ids)
-        if (c < m2 && status[c] == 0 && wl[c].tag == step)
-          d[c] -= wu[c].val * wl[c].val;
+        if (c < m2 && status[c] == 0)
+          d[c] -= dk * wu[c].val * wu[c].val;
+      for (i32 r : l_ids) wl[r].val *= dk_inv;
     } else {
-      for (i32 c : l_ids)
-        if (c < m2 && status[c] == 0 && wu[c].tag == step)
-          d[c] -= wu[c].val * wl[c].val;
-    }
-    for (i32 r : l_ids) wl[r].val *= dk_inv;
+      for (i32 c : ut_ids) wu[c].val *= dk_inv;
+      if (ut_ids.size() <= l_ids.size()) {
+        for (i32 c : ut_ids)
+          if (c < m2 && status[c] == 0 && wl[c].tag == step)
+            d[c] -= wu[c].val * wl[c].val;
+      } else {
+        for (i32 c : l_ids)
+          if (c < m2 && status[c] == 0 && wu[c].tag == step)
+            d[c] -= wu[c].val * wl[c].val;
+      }
+      for (i32 r : l_ids) wl[r].val *= dk_inv;
     }
 
     // ---- dropping ----
     i64 nnum = 0, nsp = 0;
-    if (!symmetric) {
+    i64 n_lead = 0;
+    if (!ldlt) {
       i64 kept = drop_vec(ut_ids, wu, tau_U, std::abs(ku) * kappa_d,
                           alpha_U, row_ref[idk], nnum, nsp);
       for (i64 k = 0; k < kept; ++k) {
         Uids.push_back(ut_ids[k]);
         Uvals.push_back(wu[ut_ids[k]].val);
         cols_of_U.add(ut_ids[k], (i32)step, wu[ut_ids[k]].val);
+        if (mir && ut_ids[k] < m2 && status[ut_ids[k]] == 0) ++n_lead;
       }
       Uptr.push_back((i64)Uids.size());
       Uend.push_back((i64)Uids.size());
     }
 
     i64 kept = drop_vec(l_ids, wl, tau_L, std::abs(kl) * kappa_d,
-                        alpha_L, col_ref[idk], nnum, nsp);
-    for (i64 k = 0; k < kept; ++k) {
-      Lids.push_back(l_ids[k]);
-      Lvals.push_back(wl[l_ids[k]].val);
-      rows_of_L.add(l_ids[k], (i32)step, wl[l_ids[k]].val);
+                        alpha_L, col_ref[idk], nnum, nsp,
+                        mir ? n_lead : 0);
+    if (mir) {
+      // kept tail entries of the L column go into the tail view only; the
+      // leading part is implicit (mirror of the kept ut)
+      for (i64 k = 0; k < kept; ++k)
+        tail_of_L.add(step, l_ids[k], wl[l_ids[k]].val);
+    } else {
+      for (i64 k = 0; k < kept; ++k) {
+        Lids.push_back(l_ids[k]);
+        Lvals.push_back(wl[l_ids[k]].val);
+        rows_of_L.add(l_ids[k], (i32)step, wl[l_ids[k]].val);
+      }
+      Lptr.push_back((i64)Lids.size());
+      Lend.push_back((i64)Lids.size());
     }
-    Lptr.push_back((i64)Lids.size());
-    Lend.push_back((i64)Lids.size());
-    if (symmetric) {
+    if (ldlt) {
       // mirror U row = kept l entries (U = L^T in LDL^T)
       for (i64 k = 0; k < kept; ++k) {
         Uids.push_back(l_ids[k]);
@@ -583,6 +692,22 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     kap_l.push_back(kl);
     status[idk] = 1;
     ++step;
+  }
+  // ---- mode 2: materialize L columns = mirror of the accepted kept ut
+  // entries (=> L_B = U_B^T) + the tail views ----
+  if (mir) {
+    for (i64 j = 0; j < step; ++j) {
+      for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k)
+        if (status[Uids[k]] == 1) {
+          Lids.push_back(Uids[k]);
+          Lvals.push_back(Uvals[k]);
+        }
+      for (i32 e = tail_of_L.head[j]; e >= 0; e = tail_of_L.pool[e].nxt) {
+        Lids.push_back(tail_of_L.pool[e].step);
+        Lvals.push_back(tail_of_L.pool[e].val);
+      }
+      Lptr.push_back((i64)Lids.size());
+    }
   }
   const i64 m = step;
   res->m = m;

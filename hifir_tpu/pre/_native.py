@@ -144,13 +144,17 @@ def rcm(n: int, indptr: np.ndarray, indices: np.ndarray) -> Optional[np.ndarray]
 def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
                                                      float, float, float],
           row_ref: np.ndarray, col_ref: np.ndarray,
-          schur_aL: float, schur_aU: float, symmetric: bool = False):
+          schur_aL: float, schur_aU: float, symmetric: int = 0):
     """Native deferred-Crout level kernel + Schur.
 
     Returns ``(m, L_B, U_B, S, E, F, d, ord_final, stats)`` with the
     matrices as ``(indptr, indices, vals)`` CSR triples; same semantics as
     :func:`hifir_tpu.alg.crout_np.crout_level_np` plus the L_E/U_F dropping,
     Schur formation and E/F block extraction fused in.
+
+    ``symmetric``: 0 = general LDU, 1 = LDL^T (opts.is_symm), 2 =
+    pattern-symmetric mirror mode (the reference's
+    ``level_factorize<IsSymm=true>``; anchor ``crout_level_np(symm_mode=2)``).
     """
     lib = _load()
     kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = pars
@@ -168,7 +172,7 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
            kappa_d, kappa, tau_L, tau_U, alpha_L, alpha_U,
            np.ascontiguousarray(row_ref, dtype=np.int64),
            np.ascontiguousarray(col_ref, dtype=np.int64),
-           schur_aL, schur_aU, 1 if symmetric else 0)
+           schur_aL, schur_aU, int(symmetric))
     if not h:
         raise RuntimeError("native crout failed")
     try:

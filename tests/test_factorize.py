@@ -275,3 +275,58 @@ def test_native_pivot_matches_anchor():
     b = np.random.default_rng(5).standard_normal(A.nrows)
     np.testing.assert_allclose(M1.solve(b), M2.solve(b), rtol=1e-12,
                                atol=1e-12)
+
+
+def test_symmetric_block_mirror_mode():
+    """User-declared symmetric leading block (factorize(..., m0=n)) selects
+    the mirror kernel (ref level_factorize<IsSymm=true>, builder.hpp:534):
+    L_B == U_B^T, native matches the anchor, and the complete factorization
+    on a value-symmetric matrix still solves exactly."""
+    import scipy.sparse as sp
+    from hifir_tpu.alg.crout_np import crout_level_np
+    from hifir_tpu.ds.csr import CSR
+    from hifir_tpu.options import determine_fac_pars
+    from hifir_tpu.pre import _native
+
+    rng = np.random.default_rng(3)
+    n = 90
+    P = sp.random(n, n, density=0.08, random_state=4).tocsr()
+    pat = ((P + P.T) != 0)
+    rows, cols = pat.nonzero()
+    A = sp.coo_matrix((rng.standard_normal(rows.size), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    diag = 4.0 + rng.random(n)
+    diag[rng.choice(n, 4, replace=False)] = 1e-9  # force deferrals
+    A = (A + sp.diags(diag)).tocsr()
+    A.sort_indices()
+    Ac = CSR(n, n, A.indptr.astype(np.int64), A.indices.astype(np.int32),
+             A.data)
+    d0 = A.diagonal()
+    opts = Options(verbose=0, tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3)
+    ref = np.maximum(np.diff(A.indptr), 2).astype(np.int64)
+
+    res = crout_level_np(Ac, d0, n, 1, opts, ref, ref, symm_mode=2)
+    LB_a = res.L_B.to_scipy().toarray()
+    UB_a = res.U_B.to_scipy().toarray()
+    np.testing.assert_allclose(LB_a, UB_a.T, rtol=0, atol=0)
+
+    if _native.has_crout():
+        pars = determine_fac_pars(opts, 1)
+        m, Lt, Ut, *_rest = _native.crout(Ac, d0, n, pars, ref, ref,
+                                          3.0, 3.0, symmetric=2)
+        assert m == res.m
+        np.testing.assert_allclose(CSR(m, m, *Lt).to_scipy().toarray(),
+                                   LB_a, rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(CSR(m, m, *Ut).to_scipy().toarray(),
+                                   UB_a, rtol=1e-10, atol=1e-13)
+
+    # end-to-end: symmetric values, complete factorization => exact solve
+    As = (A + A.T).tocsr()
+    As.sort_indices()
+    Asym = CSR(n, n, As.indptr.astype(np.int64), As.indices.astype(np.int32),
+               As.data)
+    M = HIF().factorize(Asym, complete_opts(), m0=n)
+    b = rng.standard_normal(n)
+    np.testing.assert_allclose(M.solve(b),
+                               np.linalg.solve(As.toarray(), b),
+                               rtol=1e-8, atol=1e-8)
