@@ -63,3 +63,64 @@ HT_API void ht_defer_probe(i64 n, const i64 *indptr, const i32 *indices,
     mx[i] = m;
   }
 }
+
+// Symmetrized leading-block pattern for fill-reducing orderings:
+// P = pattern(B) | pattern(B)^T where B = A[p[:m], q[:m]] in block positions
+// (ref compute_leading_block, pre/matching_scaling.hpp:199-321 + the
+// reordering wrappers' A+A^T symmetrization).  One O(nnz) pass replaces the
+// scipy fancy-index + csr_plus_csr chain.  Pi must have capacity
+// >= 2 * sum(row_nnz(A)[p[:m]]); returns the union nnz.  Rows are emitted
+// unsorted (AMD sorts its adjacency on build; RCM orders neighbors by
+// degree), Bt part first so each row starts with its sorted transpose part.
+HT_API i64 ht_sym_leading_pattern(i64 n, const i64 *Ap, const i32 *Ai,
+                                  const i64 *p, const i64 *q, i64 m,
+                                  i64 *Pp, i32 *Pi) {
+  std::vector<i64> qinv(n, -1);
+  for (i64 j = 0; j < m; ++j) qinv[q[j]] = j;
+  // B rows in block positions
+  std::vector<i64> Bp(m + 1, 0);
+  i64 nnzb_cap = 0;
+  for (i64 i = 0; i < m; ++i) nnzb_cap += Ap[p[i] + 1] - Ap[p[i]];
+  std::vector<i32> Bi;
+  Bi.reserve(nnzb_cap);
+  for (i64 i = 0; i < m; ++i) {
+    const i64 r = p[i];
+    for (i64 k = Ap[r]; k < Ap[r + 1]; ++k) {
+      const i64 c = qinv[Ai[k]];
+      if (c >= 0) Bi.push_back((i32)c);
+    }
+    Bp[i + 1] = (i64)Bi.size();
+  }
+  // transpose pattern (sorted rows by construction)
+  std::vector<i64> Tp(m + 1, 0);
+  for (i32 c : Bi) ++Tp[c + 1];
+  for (i64 i = 0; i < m; ++i) Tp[i + 1] += Tp[i];
+  std::vector<i32> Ti(Bi.size());
+  {
+    std::vector<i64> nx(Tp.begin(), Tp.end() - 1);
+    for (i64 i = 0; i < m; ++i)
+      for (i64 k = Bp[i]; k < Bp[i + 1]; ++k) Ti[nx[Bi[k]]++] = (i32)i;
+  }
+  // per-row union with a stamp workspace
+  std::vector<i64> stamp(m, -1);
+  i64 w = 0;
+  Pp[0] = 0;
+  for (i64 i = 0; i < m; ++i) {
+    for (i64 k = Tp[i]; k < Tp[i + 1]; ++k) {
+      const i32 c = Ti[k];
+      if (stamp[c] != i) {
+        stamp[c] = i;
+        Pi[w++] = c;
+      }
+    }
+    for (i64 k = Bp[i]; k < Bp[i + 1]; ++k) {
+      const i32 c = Bi[k];
+      if (stamp[c] != i) {
+        stamp[c] = i;
+        Pi[w++] = c;
+      }
+    }
+    Pp[i + 1] = w;
+  }
+  return w;
+}

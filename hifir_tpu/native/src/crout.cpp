@@ -14,6 +14,7 @@
 #include <complex>
 #include <cstdio>
 #include <type_traits>
+#include <x86intrin.h>
 
 namespace {
 
@@ -58,40 +59,57 @@ struct Result {
 };
 
 // dual dropping on a scatter-accumulated sparse vector
-// (ref alg/thresholds.hpp:49,72); keeps ids[0..kept) (unsorted).
+// (ref alg/thresholds.hpp:49,72).  The candidate ids gather their values
+// into a small contiguous scratch ({|v|, id, v}) in ONE pass, and the
+// space-limitation select runs on the scratch: the nth_element comparator
+// touches sequential 24-byte entries instead of doing two random loads into
+// the n-sized scatter workspace per comparison, and the subsequent factor
+// pushes read the scratch instead of re-gathering.  Selection order (and
+// therefore tie-breaking) is identical to selecting on the raw ids, so the
+// kept set matches the Python anchor exactly.
 // start_size > 0 charges already-committed (mirrored) entries against the
 // space cap (ref apply_space_dropping start_size arg, thresholds.hpp:72-86)
-template <class Buf>
-inline i64 drop_vec(std::vector<i32> &ids, const Buf &buf, double tau,
-                    double kap, double alpha, i64 nnz_ref, i64 &n_num,
-                    i64 &n_space, i64 start_size = 0) {
-  i64 sz = (i64)ids.size();
-  if (tau > 0.0 && kap > 0.0) {
-    const double coeff = tau / kap;
-    i64 w = 0;
-    for (i64 k = 0; k < sz; ++k)
-      if (std::abs(buf[ids[k]].val) > coeff) ids[w++] = ids[k];
-    n_num += sz - w;
-    sz = w;
-    ids.resize(sz);
+template <class VT>
+struct DropEnt {
+  double key;
+  i32 id;
+  VT val;
+};
+
+template <class VT>
+inline i64 drop_vec(const std::vector<i32> &ids, const std::vector<VT> &vals,
+                    double tau, double kap, double alpha, i64 nnz_ref,
+                    i64 &n_num, i64 &n_space,
+                    std::vector<DropEnt<VT>> &scratch, i64 start_size = 0) {
+  scratch.clear();
+  const bool do_num = tau > 0.0 && kap > 0.0;
+  const double coeff = do_num ? tau / kap : 0.0;
+  for (i64 k = 0; k < (i64)ids.size(); ++k) {
+    const VT v = vals[k];
+    const double a = std::abs(v);
+    if (do_num && !(a > coeff)) continue;
+    scratch.push_back(DropEnt<VT>{a, ids[k], v});
   }
+  n_num += (i64)ids.size() - (i64)scratch.size();
+  i64 sz = (i64)scratch.size();
   if (alpha > 0.0) {
     i64 cap = (i64)std::ceil(alpha * (double)nnz_ref);
     if (start_size >= cap) cap = start_size + 1;
     cap -= start_size;
     if (cap < 1) cap = 1;
     if (sz > cap) {
-      std::nth_element(ids.begin(), ids.begin() + cap - 1, ids.end(),
-                       [&](i32 a, i32 b) {
-                         return std::abs(buf[a].val) > std::abs(buf[b].val);
+      std::nth_element(scratch.begin(), scratch.begin() + cap - 1,
+                       scratch.end(),
+                       [](const DropEnt<VT> &x, const DropEnt<VT> &y) {
+                         return x.key > y.key;
                        });
       n_space += sz - cap;
       sz = cap;
-      ids.resize(sz);
     }
   }
   return sz;
 }
+
 
 }  // namespace
 
@@ -468,11 +486,31 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   std::vector<VT> dvec, kap_u, kap_l;
   std::vector<i64> deferred;
 
-  // packed tag+value workspaces: one cache line per scatter visit instead
-  // of two (this loop is cache-miss bound)
-  struct TV { i64 tag; VT val; };
-  std::vector<TV> wu(n, TV{-1, VT(0.0)}), wl(n, TV{-1, VT(0.0)});
+  // scatter workspaces hold only {step tag, position}; the candidate
+  // VALUES live in compact append-order buffers (utv/lv parallel to
+  // ut_ids/l_ids).  The streaming row scans evict the cache between the
+  // scatter phase and dropping, so dropping/scaling/pushing must not
+  // re-gather through the n-sized array: with the compact buffers they
+  // touch only sequential hot memory (8 bytes per id in the scatter map
+  // instead of 16 also halves the random-access footprint)
+  struct TP { i32 tag; i32 pos; };
+  std::vector<TP> wu(n, TP{-1, 0}), wl(n, TP{-1, 0});
   std::vector<i32> ut_ids, l_ids;
+  std::vector<VT> utv, lv;
+  std::vector<DropEnt<VT>> keep;
+  Lids.reserve(rsv); Lvals.reserve(rsv);
+  Uids.reserve(rsv); Uvals.reserve(rsv);
+
+  const bool prof2 = std::getenv("HT_PROFILE2") != nullptr;
+  unsigned long long n_ut_vis = 0, n_l_vis = 0, n_kap_vis = 0,
+                     n_pre = 0, n_kept = 0, n_swap = 0;
+  unsigned long long c_kappa = 0, c_ut = 0, c_l = 0, c_drop = 0, c_push = 0,
+                     c_scale = 0, t0 = 0, t1 = 0;
+  (void)c_scale;
+#define HT_TIC2() if (prof2) t1 = __rdtsc()
+#define HT_TOC2(acc) if (prof2) acc += __rdtsc() - t1
+#define HT_TIC() if (prof2) t0 = __rdtsc()
+#define HT_TOC(acc) if (prof2) acc += __rdtsc() - t0
 
   i64 step = 0;
   for (i64 idk = 0; idk < m2; ++idk) {
@@ -485,14 +523,17 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       continue;
     }
     VT ku = VT(1.0), kl = VT(1.0);
+    HT_TIC();
     if (step) {
       // incremental inverse-norm estimates (ref Crout.hpp:486); for the
       // symmetric LDL^T kernel kappa_u == kappa_l (ref factor.hpp:818-820),
       // and the mode-2 mirror reuses kappa_ut (ref factor.hpp:858-860)
       VT sum = VT(0.0);
       if (!ldlt) {
-        for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt)
+        for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt) {
           sum += kap_u[cols_of_U.pool[e].step] * cols_of_U.pool[e].val;
+          if (prof2) ++n_kap_vis;
+        }
         const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
         ku = std::abs(k1) < std::abs(k2) ? k2 : k1;
       }
@@ -506,6 +547,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       if (ldlt) ku = kl;
       if (mir) kl = ku;
     }
+    HT_TOC(c_kappa);
     if (std::abs(ku) > kappa || std::abs(kl) > kappa) {
       ++res->stats[2];
       status[idk] = 2;
@@ -518,13 +560,17 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     // For a pending idk the leading L row mirrors the U column, so mode 2
     // traverses cols_of_U in place of rows_of_L ----
     ut_ids.clear();
+    utv.clear();
+    HT_TIC();
+    const i32 stp = (i32)step;
     if (!ldlt) {
       for (i64 k = Ap[idk]; k < Ap[idk + 1]; ++k) {
         const i32 c = Ai[k];
         if (status[c] != 1 && c != idk) {
-          wu[c].val = Av[k];
-          wu[c].tag = step;
+          wu[c].tag = stp;
+          wu[c].pos = (i32)ut_ids.size();
           ut_ids.push_back(c);
+          utv.push_back(Av[k]);
         }
       }
       const Adj<VT> &radj = mir ? cols_of_U : rows_of_L;
@@ -534,19 +580,23 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         i64 k = Uptr[j], end = Uend[j];
         while (k < end) {
           const i32 c = Uids[k];
+          if (k + 8 < end) __builtin_prefetch(&wu[Uids[k + 8]], 1, 1);
+          if (prof2) ++n_ut_vis;
           if (status[c] == 1) {  // consumed: swap out of the live region
+            if (prof2) ++n_swap;
             --end;
             std::swap(Uids[k], Uids[end]);
             std::swap(Uvals[k], Uvals[end]);
             continue;
           }
           if (c != idk) {
-            if (wu[c].tag != step) {
-              wu[c].val = -ld * Uvals[k];
-              wu[c].tag = step;
+            if (wu[c].tag != stp) {
+              wu[c].tag = stp;
+              wu[c].pos = (i32)ut_ids.size();
               ut_ids.push_back(c);
+              utv.push_back(-ld * Uvals[k]);
             } else
-              wu[c].val -= ld * Uvals[k];
+              utv[wu[c].pos] -= ld * Uvals[k];
           }
           ++k;
         }
@@ -554,16 +604,20 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       }
     }
 
+    HT_TOC(c_ut);
     // ---- compute l (ref Crout.hpp:271); mode 2 computes only the tail
     // part (ids >= m2 or deferred) against the tail views of L ----
+    HT_TIC();
     l_ids.clear();
+    lv.clear();
     for (i64 k = Cp[idk]; k < Cp[idk + 1]; ++k) {
       const i32 r = Ci[k];
       if (mir ? (r >= m2 || status[r] == 2)
               : (status[r] != 1 && r != idk)) {
-        wl[r].val = Cv[k];
-        wl[r].tag = step;
+        wl[r].tag = stp;
+        wl[r].pos = (i32)l_ids.size();
         l_ids.push_back(r);
+        lv.push_back(Cv[k]);
       }
     }
     if (mir) {
@@ -573,12 +627,13 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         for (i32 e2 = tail_of_L.head[j]; e2 >= 0;
              e2 = tail_of_L.pool[e2].nxt) {
           const i32 r = tail_of_L.pool[e2].step;  // row id
-          if (wl[r].tag != step) {
-            wl[r].val = -du * tail_of_L.pool[e2].val;
-            wl[r].tag = step;
+          if (wl[r].tag != stp) {
+            wl[r].tag = stp;
+            wl[r].pos = (i32)l_ids.size();
             l_ids.push_back(r);
+            lv.push_back(-du * tail_of_L.pool[e2].val);
           } else
-            wl[r].val -= du * tail_of_L.pool[e2].val;
+            lv[wl[r].pos] -= du * tail_of_L.pool[e2].val;
         }
       }
     } else {
@@ -592,6 +647,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         i64 k = Lptr[j], end = Lend[j];
         while (k < end) {
           const i32 r = Lids[k];
+          if (k + 8 < end) __builtin_prefetch(&wl[Lids[k + 8]], 1, 1);
+          if (prof2) ++n_l_vis;
           if (status[r] == 1) {
             --end;
             std::swap(Lids[k], Lids[end]);
@@ -599,12 +656,13 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             continue;
           }
           if (r != idk) {
-            if (wl[r].tag != step) {
-              wl[r].val = -du * Lvals[k];
-              wl[r].tag = step;
+            if (wl[r].tag != stp) {
+              wl[r].tag = stp;
+              wl[r].pos = (i32)l_ids.size();
               l_ids.push_back(r);
+              lv.push_back(-du * Lvals[k]);
             } else
-              wl[r].val -= du * Lvals[k];
+              lv[wl[r].pos] -= du * Lvals[k];
           }
           ++k;
         }
@@ -612,65 +670,89 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       }
     }
 
+    HT_TOC(c_l);
     // ---- scale ut, update trailing diag, scale l (ref factor.hpp:906-931)
     const VT dk_inv = VT(1.0) / dk;
     if (ldlt) {
-      for (i32 c : l_ids)
-        if (c < m2 && status[c] == 0)
-          d[c] -= wl[c].val * wl[c].val * dk_inv;
-      for (i32 r : l_ids) wl[r].val *= dk_inv;
+      for (i64 k = 0; k < (i64)l_ids.size(); ++k) {
+        const i32 c = l_ids[k];
+        if (c < m2 && status[c] == 0) d[c] -= lv[k] * lv[k] * dk_inv;
+      }
+      for (VT &v : lv) v *= dk_inv;
       // mirror for the dropping below: ut = l
     } else if (mir) {
       // d[c] -= dk * ut_scaled[c]^2 (ref update_diag<true>,
       // Crout.hpp:613-630; no conjugation — symmetric, not Hermitian)
-      for (i32 c : ut_ids) wu[c].val *= dk_inv;
-      for (i32 c : ut_ids)
-        if (c < m2 && status[c] == 0)
-          d[c] -= dk * wu[c].val * wu[c].val;
-      for (i32 r : l_ids) wl[r].val *= dk_inv;
-    } else {
-      for (i32 c : ut_ids) wu[c].val *= dk_inv;
-      if (ut_ids.size() <= l_ids.size()) {
-        for (i32 c : ut_ids)
-          if (c < m2 && status[c] == 0 && wl[c].tag == step)
-            d[c] -= wu[c].val * wl[c].val;
-      } else {
-        for (i32 c : l_ids)
-          if (c < m2 && status[c] == 0 && wu[c].tag == step)
-            d[c] -= wu[c].val * wl[c].val;
+      for (VT &v : utv) v *= dk_inv;
+      for (i64 k = 0; k < (i64)ut_ids.size(); ++k) {
+        const i32 c = ut_ids[k];
+        if (c < m2 && status[c] == 0) d[c] -= dk * utv[k] * utv[k];
       }
-      for (i32 r : l_ids) wl[r].val *= dk_inv;
+      for (VT &v : lv) v *= dk_inv;
+    } else {
+      for (VT &v : utv) v *= dk_inv;
+      if (ut_ids.size() <= l_ids.size()) {
+        for (i64 k = 0; k < (i64)ut_ids.size(); ++k) {
+          const i32 c = ut_ids[k];
+          if (c < m2 && status[c] == 0 && wl[c].tag == stp)
+            d[c] -= utv[k] * lv[wl[c].pos];
+        }
+      } else {
+        for (i64 k = 0; k < (i64)l_ids.size(); ++k) {
+          const i32 c = l_ids[k];
+          if (c < m2 && status[c] == 0 && wu[c].tag == stp)
+            d[c] -= utv[wu[c].pos] * lv[k];
+        }
+      }
+      for (VT &v : lv) v *= dk_inv;
     }
 
     // ---- dropping ----
     i64 nnum = 0, nsp = 0;
     i64 n_lead = 0;
     if (!ldlt) {
-      i64 kept = drop_vec(ut_ids, wu, tau_U, std::abs(ku) * kappa_d,
-                          alpha_U, row_ref[idk], nnum, nsp);
+      HT_TIC2();
+      if (prof2) n_pre += ut_ids.size();
+      const i64 kept = drop_vec(ut_ids, utv, tau_U, std::abs(ku) * kappa_d,
+                                alpha_U, row_ref[idk], nnum, nsp, keep);
+      if (prof2) n_kept += kept;
+      HT_TOC2(c_drop);
+      HT_TIC2();
       for (i64 k = 0; k < kept; ++k) {
-        Uids.push_back(ut_ids[k]);
-        Uvals.push_back(wu[ut_ids[k]].val);
-        cols_of_U.add(ut_ids[k], (i32)step, wu[ut_ids[k]].val);
-        if (mir && ut_ids[k] < m2 && status[ut_ids[k]] == 0) ++n_lead;
+        if (k + 8 < kept)
+          __builtin_prefetch(&cols_of_U.head[keep[k + 8].id], 1, 1);
+        const i32 c = keep[k].id;
+        const VT v = keep[k].val;
+        Uids.push_back(c);
+        Uvals.push_back(v);
+        cols_of_U.add(c, (i32)step, v);
+        if (mir && c < m2 && status[c] == 0) ++n_lead;
       }
       Uptr.push_back((i64)Uids.size());
       Uend.push_back((i64)Uids.size());
+      HT_TOC2(c_push);
     }
 
-    i64 kept = drop_vec(l_ids, wl, tau_L, std::abs(kl) * kappa_d,
-                        alpha_L, col_ref[idk], nnum, nsp,
-                        mir ? n_lead : 0);
+    HT_TIC2();
+    if (prof2) n_pre += l_ids.size();
+    const i64 kept = drop_vec(l_ids, lv, tau_L, std::abs(kl) * kappa_d,
+                              alpha_L, col_ref[idk], nnum, nsp, keep,
+                              mir ? n_lead : 0);
+    if (prof2) n_kept += kept;
+    HT_TOC2(c_drop);
+    HT_TIC2();
     if (mir) {
       // kept tail entries of the L column go into the tail view only; the
       // leading part is implicit (mirror of the kept ut)
       for (i64 k = 0; k < kept; ++k)
-        tail_of_L.add(step, l_ids[k], wl[l_ids[k]].val);
+        tail_of_L.add(step, keep[k].id, keep[k].val);
     } else {
       for (i64 k = 0; k < kept; ++k) {
-        Lids.push_back(l_ids[k]);
-        Lvals.push_back(wl[l_ids[k]].val);
-        rows_of_L.add(l_ids[k], (i32)step, wl[l_ids[k]].val);
+        if (k + 8 < kept)
+          __builtin_prefetch(&rows_of_L.head[keep[k + 8].id], 1, 1);
+        Lids.push_back(keep[k].id);
+        Lvals.push_back(keep[k].val);
+        rows_of_L.add(keep[k].id, (i32)step, keep[k].val);
       }
       Lptr.push_back((i64)Lids.size());
       Lend.push_back((i64)Lids.size());
@@ -678,12 +760,13 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     if (ldlt) {
       // mirror U row = kept l entries (U = L^T in LDL^T)
       for (i64 k = 0; k < kept; ++k) {
-        Uids.push_back(l_ids[k]);
-        Uvals.push_back(wl[l_ids[k]].val);
+        Uids.push_back(keep[k].id);
+        Uvals.push_back(keep[k].val);
       }
       Uptr.push_back((i64)Uids.size());
       Uend.push_back((i64)Uids.size());
     }
+    HT_TOC2(c_push);
     res->stats[4] += nnum + nsp;
     res->stats[3] += nsp;
 
@@ -711,6 +794,19 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   }
   const i64 m = step;
   res->m = m;
+  if (prof2)
+    std::fprintf(stderr,
+                 "[ht_loop] kappa=%.2fGc ut=%.2fGc l=%.2fGc drop=%.2fGc "
+                 "push=%.2fGc | nnzA=%lld kapV=%.1fM utV=%.1fM lV=%.1fM "
+                 "swap=%.1fM pre=%.1fM kept=%.1fM\n",
+                 c_kappa * 1e-9, c_ut * 1e-9, c_l * 1e-9, c_drop * 1e-9,
+                 c_push * 1e-9, (long long)Ap[n], n_kap_vis * 1e-6,
+                 n_ut_vis * 1e-6, n_l_vis * 1e-6, n_swap * 1e-6,
+                 n_pre * 1e-6, n_kept * 1e-6);
+#undef HT_TIC
+#undef HT_TOC
+#undef HT_TIC2
+#undef HT_TOC2
   const bool prof = std::getenv("HT_PROFILE") != nullptr;
   auto t_loop_end = std::chrono::steady_clock::now();
   res->stats[0] = (i64)deferred.size();
@@ -771,9 +867,13 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   std::vector<VT> dvec, kap_u, kap_l;
   std::vector<i64> deferredR, deferredC;
 
-  struct TV { i64 tag; VT val; };
-  std::vector<TV> wu(n, TV{-1, VT(0.0)}), wl(n, TV{-1, VT(0.0)});
+  // {stamp, position} scatter maps; candidate values live in compact
+  // append-order buffers (same design as crout_core)
+  struct TP { i64 tag; i32 pos; };
+  std::vector<TP> wu(n, TP{-1, 0}), wl(n, TP{-1, 0});
   std::vector<i32> ut_ids, l_ids;
+  std::vector<VT> utv, lv;
+  std::vector<DropEnt<VT>> keep;
   i64 stamp = 0;
 
   auto kappa_new = [&](const Adj<VT> &adj, const std::vector<VT> &kap,
@@ -789,12 +889,14 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   auto compute_l = [&](i64 ci) {
     ++stamp;
     l_ids.clear();
+    lv.clear();
     for (i64 k = Cp[ci]; k < Cp[ci + 1]; ++k) {
       const i32 r = Ci[k];
       if (statusR[r] != 1) {
-        wl[r].val = Cv[k];
         wl[r].tag = stamp;
+        wl[r].pos = (i32)l_ids.size();
         l_ids.push_back(r);
+        lv.push_back(Cv[k]);
       }
     }
     for (i32 e = cols_of_U.head[ci]; e >= 0; e = cols_of_U.pool[e].nxt) {
@@ -804,11 +906,12 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         const i32 r = Lids[k];
         if (statusR[r] == 1) continue;
         if (wl[r].tag != stamp) {
-          wl[r].val = -du * Lvals[k];
           wl[r].tag = stamp;
+          wl[r].pos = (i32)l_ids.size();
           l_ids.push_back(r);
+          lv.push_back(-du * Lvals[k]);
         } else
-          wl[r].val -= du * Lvals[k];
+          lv[wl[r].pos] -= du * Lvals[k];
       }
     }
   };
@@ -817,12 +920,14 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   auto compute_ut = [&](i64 ri) {
     ++stamp;
     ut_ids.clear();
+    utv.clear();
     for (i64 k = Ap[ri]; k < Ap[ri + 1]; ++k) {
       const i32 c = Ai[k];
       if (statusC[c] != 1) {
-        wu[c].val = Av[k];
         wu[c].tag = stamp;
+        wu[c].pos = (i32)ut_ids.size();
         ut_ids.push_back(c);
+        utv.push_back(Av[k]);
       }
     }
     for (i32 e = rows_of_L.head[ri]; e >= 0; e = rows_of_L.pool[e].nxt) {
@@ -832,11 +937,12 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         const i32 c = Uids[k];
         if (statusC[c] == 1) continue;
         if (wu[c].tag != stamp) {
-          wu[c].val = -ld * Uvals[k];
           wu[c].tag = stamp;
+          wu[c].pos = (i32)ut_ids.size();
           ut_ids.push_back(c);
+          utv.push_back(-ld * Uvals[k]);
         } else
-          wu[c].val -= ld * Uvals[k];
+          utv[wu[c].pos] -= ld * Uvals[k];
       }
     }
   };
@@ -851,13 +957,14 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       bool changed = false;
       // row interchange candidate from the column vector
       compute_l(ci);
-      VT dk = (wl[ri].tag == stamp) ? wl[ri].val : VT(0.0);
+      VT dk = (wl[ri].tag == stamp) ? lv[wl[ri].pos] : VT(0.0);
       i64 best_r = -1;
       double best_mag = std::abs(dk);
-      for (i32 r : l_ids) {
+      for (i64 k = 0; k < (i64)l_ids.size(); ++k) {
+        const i32 r = l_ids[k];
         if (r == (i32)ri || r >= m2 || statusR[r] != 0) continue;
         if (pos_of_row[r] <= pos) continue;
-        const double mag = std::abs(wl[r].val);
+        const double mag = std::abs(lv[k]);
         if (mag > best_mag) {
           best_r = r;
           best_mag = mag;
@@ -876,13 +983,14 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       }
       // column interchange candidate from the row vector
       compute_ut(ri);
-      dk = (wu[ci].tag == stamp) ? wu[ci].val : VT(0.0);
+      dk = (wu[ci].tag == stamp) ? utv[wu[ci].pos] : VT(0.0);
       i64 best_c = -1;
       best_mag = std::abs(dk);
-      for (i32 c : ut_ids) {
+      for (i64 k = 0; k < (i64)ut_ids.size(); ++k) {
+        const i32 c = ut_ids[k];
         if (c == (i32)ci || c >= m2 || statusC[c] != 0) continue;
         if (pos_of_col[c] <= pos) continue;
-        const double mag = std::abs(wu[c].val);
+        const double mag = std::abs(utv[k]);
         if (mag > best_mag) {
           best_c = c;
           best_mag = mag;
@@ -905,7 +1013,7 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     // ---- admissibility of the final pair --------------------------------
     compute_ut(ri);
     const i64 stamp_u = stamp;
-    const VT dk = (wu[ci].tag == stamp_u) ? wu[ci].val : VT(0.0);
+    const VT dk = (wu[ci].tag == stamp_u) ? utv[wu[ci].pos] : VT(0.0);
     bool bad = (dk == VT(0.0)) || (std::abs(VT(1.0) / dk) > kappa_d);
     VT ku = VT(1.0), kl = VT(1.0);
     if (bad) {
@@ -932,35 +1040,37 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     // scale, excluding the diagonal entries
     {
       i64 w = 0;
-      for (i32 c : ut_ids)
-        if (c != (i32)ci) {
-          wu[c].val *= dk_inv;
-          ut_ids[w++] = c;
+      for (i64 k = 0; k < (i64)ut_ids.size(); ++k)
+        if (ut_ids[k] != (i32)ci) {
+          utv[w] = utv[k] * dk_inv;
+          ut_ids[w++] = ut_ids[k];
         }
       ut_ids.resize(w);
+      utv.resize(w);
       w = 0;
-      for (i32 r : l_ids)
-        if (r != (i32)ri) {
-          wl[r].val *= dk_inv;
-          l_ids[w++] = r;
+      for (i64 k = 0; k < (i64)l_ids.size(); ++k)
+        if (l_ids[k] != (i32)ri) {
+          lv[w] = lv[k] * dk_inv;
+          l_ids[w++] = l_ids[k];
         }
       l_ids.resize(w);
+      lv.resize(w);
     }
     i64 nnum = 0, nsp = 0;
-    i64 kept = drop_vec(ut_ids, wu, tau_U, std::abs(ku) * kappa_d, alpha_U,
-                        row_ref[ri], nnum, nsp);
+    i64 kept = drop_vec(ut_ids, utv, tau_U, std::abs(ku) * kappa_d, alpha_U,
+                        row_ref[ri], nnum, nsp, keep);
     for (i64 k = 0; k < kept; ++k) {
-      Uids.push_back(ut_ids[k]);
-      Uvals.push_back(wu[ut_ids[k]].val);
-      cols_of_U.add(ut_ids[k], (i32)step, wu[ut_ids[k]].val);
+      Uids.push_back(keep[k].id);
+      Uvals.push_back(keep[k].val);
+      cols_of_U.add(keep[k].id, (i32)step, keep[k].val);
     }
     Uptr.push_back((i64)Uids.size());
-    kept = drop_vec(l_ids, wl, tau_L, std::abs(kl) * kappa_d, alpha_L,
-                    col_ref[ci], nnum, nsp);
+    kept = drop_vec(l_ids, lv, tau_L, std::abs(kl) * kappa_d, alpha_L,
+                    col_ref[ci], nnum, nsp, keep);
     for (i64 k = 0; k < kept; ++k) {
-      Lids.push_back(l_ids[k]);
-      Lvals.push_back(wl[l_ids[k]].val);
-      rows_of_L.add(l_ids[k], (i32)step, wl[l_ids[k]].val);
+      Lids.push_back(keep[k].id);
+      Lvals.push_back(keep[k].val);
+      rows_of_L.add(keep[k].id, (i32)step, keep[k].val);
     }
     Lptr.push_back((i64)Lids.size());
     res->stats[4] += nnum + nsp;

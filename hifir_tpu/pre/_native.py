@@ -359,3 +359,28 @@ def crout_pivot(Ahat, m2: int, pars, row_ref, col_ref, schur_aL, schur_aU,
     finally:
         lib.ht_res_free(h)
     return m, L, U, S, E, F, d, ordf, stats
+
+
+def sym_leading_pattern(A, p: np.ndarray, q: np.ndarray, m: int):
+    """Fused symmetrized leading-block pattern ``(B | B^T)`` with
+    ``B = pattern(A[p[:m], q[:m]])`` for the fill-reducing orderings; returns
+    ``(indptr, indices)`` (rows unsorted) or None if the native library is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_has_symlead"):
+        lib._has_symlead = _bind(
+            lib, "ht_sym_leading_pattern", ctypes.c_int64,
+            [ctypes.c_int64, _I64, _I32, _I64, _I64, ctypes.c_int64,
+             _I64, _I32])
+    if not lib._has_symlead:
+        return None
+    p = np.ascontiguousarray(p, dtype=np.int64)
+    q = np.ascontiguousarray(q, dtype=np.int64)
+    cap = 2 * int((A.indptr[p[:m] + 1] - A.indptr[p[:m]]).sum())
+    Pp = np.empty(m + 1, dtype=np.int64)
+    Pi = np.empty(max(cap, 1), dtype=np.int32)
+    nnz = lib.ht_sym_leading_pattern(A.nrows, A.indptr, A.indices, p, q, m,
+                                     Pp, Pi)
+    return Pp, Pi[:nnz].copy()

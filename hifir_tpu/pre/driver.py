@@ -121,19 +121,26 @@ def do_preprocessing(A: CSR, m0: int, level: int, opts: Options,
     m, p, q = defer_tiny_diags(A, m0, p, q)
 
     if opts.reorder != REORDER_OFF and m:
+        use_rcm = (opts.reorder == REORDER_RCM
+                   or (opts.reorder == REORDER_AUTO and is_symm_pre
+                       and level == 1 and m != m0))
         # leading-block pattern B_m = A[p_{1:m}, q_{1:m}] (ref
-        # ``compute_leading_block``, pre/matching_scaling.hpp:199)
-        S = A.to_scipy()
-        Bm = S[p[:m], :][:, q[:m]].tocsr()
-        Bm.data = np.ones_like(Bm.data)
-        Bm_csr = CSR(m, m, Bm.indptr.astype(np.int64), Bm.indices, Bm.data)
-        if opts.reorder == REORDER_AUTO:
-            use_rcm = is_symm_pre and level == 1 and m != m0
+        # ``compute_leading_block``, pre/matching_scaling.hpp:199),
+        # symmetrized for the ordering graph; native fused path builds
+        # (B | B^T) in one O(nnz) pass
+        from . import _native
+        P = None
+        trip = _native.sym_leading_pattern(A, p, q, m)
+        if trip is not None:
+            P = (_native.rcm(m, *trip) if use_rcm
+                 else _native.amd(m, *trip))
+        if P is None:
+            S = A.to_scipy()
+            Bm = S[p[:m], :][:, q[:m]].tocsr()
+            Bm.data = np.ones_like(Bm.data)
+            Bm_csr = CSR(m, m, Bm.indptr.astype(np.int64), Bm.indices,
+                         Bm.data)
             P = run_rcm(Bm_csr) if use_rcm else run_amd(Bm_csr)
-        elif opts.reorder == REORDER_AMD:
-            P = run_amd(Bm_csr)
-        else:
-            P = run_rcm(Bm_csr)
         p[:m] = p[:m][P]
         q[:m] = q[:m][P]
 
