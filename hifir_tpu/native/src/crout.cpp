@@ -14,6 +14,9 @@
 #include <complex>
 #include <cstdio>
 #include <type_traits>
+#include <omp.h>
+#include <atomic>
+#include <thread>
 #include <x86intrin.h>
 
 namespace {
@@ -299,9 +302,13 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   res->d = dvec;
   mark("L_split");
 
-  // ---- L_E / U_F dropping (ref Schur.hpp:61-190) ----
+  // ---- L_E / U_F dropping (ref Schur.hpp:61-190); the two drops touch
+  // disjoint data, so they run as concurrent sections (the reference has an
+  // OpenMP variant of this too, Schur.hpp:424) ----
   if (nm) {
-    std::vector<i32> keep;
+#pragma omp parallel sections num_threads(2) if (LEi.size() + UFi.size() > 65536)
+   {
+#pragma omp section
     // L_E rows: cap ceil(schur_aL * row_ref[ord[m+i]])
     if (schur_aL > 0.0) {
       std::vector<i64> newp(nm + 1, 0);
@@ -340,6 +347,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       LEi.swap(ni);
       LEv.swap(nv);
     }
+#pragma omp section
     // U_F columns: cap ceil(schur_aU * col_ref[ord[m+j]]); UF stored per
     // source row (CSC of U_F); dropping is per *column* of U_F == per tail col
     if (schur_aU > 0.0) {
@@ -384,50 +392,385 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       UFv.resize(w);
       UFp.swap(newp);
     }
+   }  // omp sections
 
     mark("LE_UF_drop");
-    // ---- Schur: S = Ahat[tail, tail] - L_E D U_F (ref Schur.hpp:214) ----
-    // row i of S: C row = Ahat row ord[m+i] restricted to tail columns
-    std::vector<LD> acc(nm, LD(0.0L));
-    std::vector<i64> stag(nm, -1);
-    std::vector<i32> srow;
+    // ---- Schur: S = Ahat[tail, tail] - L_E D U_F (ref Schur.hpp:214),
+    // static row halves on two threads with per-thread accumulators and
+    // output chunks (the reference ships an OpenMP row-block variant as
+    // well, Schur.hpp:587); outputs are identical to the serial pass ----
     res->Sp.assign(nm + 1, 0);
-    for (i64 i = 0; i < nm; ++i) {
-      srow.clear();
-      const i64 arow = ordR[m + i];
-      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
-        const i64 pc = posC[Ai[k]];
-        if (pc >= m) {
-          const i64 c = pc - m;
-          acc[c] = LD(Av[k]);
-          stag[c] = i;
-          srow.push_back((i32)c);
-        }
-      }
-      for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
-        const i32 j = LEi[k];
-        const LD ldv = LD(LEv[k]) * LD(dvec[j]);
-        for (i64 kk = UFp[j]; kk < UFp[j + 1]; ++kk) {
-          const i32 c = UFi[kk];
-          if (stag[c] != i) {
-            acc[c] = -ldv * LD(UFv[kk]);
+    const int nthr = nm >= 4096 ? 2 : 1;
+    std::vector<std::vector<i32>> tSi(nthr);
+    std::vector<std::vector<VT>> tSv(nthr);
+#pragma omp parallel num_threads(nthr) if (nthr > 1)
+    {
+      const int tid = nthr > 1 ? omp_get_thread_num() : 0;
+      const i64 lo = tid * nm / nthr, hi = (i64)(tid + 1) * nm / nthr;
+      std::vector<LD> acc(nm, LD(0.0L));
+      std::vector<i64> stag(nm, -1);
+      std::vector<i32> srow;
+      auto &Si = tSi[tid];
+      auto &Sv = tSv[tid];
+      Si.reserve((LEp[nm] + Ap[n] / 2) / nthr + 16);
+      Sv.reserve(Si.capacity());
+      for (i64 i = lo; i < hi; ++i) {
+        srow.clear();
+        const i64 arow = ordR[m + i];
+        for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+          const i64 pc = posC[Ai[k]];
+          if (pc >= m) {
+            const i64 c = pc - m;
+            acc[c] = LD(Av[k]);
             stag[c] = i;
-            srow.push_back(c);
-          } else
-            acc[c] -= ldv * LD(UFv[kk]);
+            srow.push_back((i32)c);
+          }
         }
+        for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
+          const i32 j = LEi[k];
+          const LD ldv = LD(LEv[k]) * LD(dvec[j]);
+          for (i64 kk = UFp[j]; kk < UFp[j + 1]; ++kk) {
+            const i32 c = UFi[kk];
+            if (stag[c] != i) {
+              acc[c] = -ldv * LD(UFv[kk]);
+              stag[c] = i;
+              srow.push_back(c);
+            } else
+              acc[c] -= ldv * LD(UFv[kk]);
+          }
+        }
+        std::sort(srow.begin(), srow.end());
+        for (i32 c : srow) {
+          Si.push_back(c);
+          Sv.push_back(VT(acc[c]));
+        }
+        res->Sp[i + 1] = (i64)srow.size();  // row size; prefixed below
       }
-      std::sort(srow.begin(), srow.end());
-      for (i32 c : srow) {
-        res->Si.push_back(c);
-        res->Sv.push_back(VT(acc[c]));
+    }
+    for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] += res->Sp[i];
+    res->Si.resize(res->Sp[nm]);
+    res->Sv.resize(res->Sp[nm]);
+    i64 off = 0;
+    for (int t = 0; t < nthr; ++t) {
+      if (!tSi[t].empty()) {
+        std::memcpy(res->Si.data() + off, tSi[t].data(),
+                    tSi[t].size() * sizeof(i32));
+        std::memcpy(res->Sv.data() + off, tSv[t].data(),
+                    tSv[t].size() * sizeof(VT));
       }
-      res->Sp[i + 1] = (i64)res->Si.size();
+      off += (i64)tSi[t].size();
     }
     mark("Schur");
   } else {
     res->Sp.assign(1, 0);
   }
+}
+
+
+// ---- dual-thread general-LDU Crout loop -------------------------------
+//
+// Thread 0 (caller) owns the U side: kappa_u, the ut compute/scale/drop,
+// U storage, cols_of_U appends, kap_u, status/deferred bookkeeping and
+// reading d.  Thread 1 (worker) owns the L side: kappa_l, the l
+// compute, the trailing-diagonal update (the only writer of d), scale/
+// drop of l, L storage, rows_of_L appends and kap_l.  Per step there are
+// three release/acquire points: T0 publishes {status of the previous
+// step, ku} -> T1 publishes kl -> T0 publishes the scaled ut -> T1
+// signals step completion.  Cross-thread reads are safe because (a) each
+// adjacency pool is appended by exactly one thread and hard-reserved to
+// the space-dropping cap sum, so nodes never move under the other
+// thread's walk, (b) Adj::add prepends by replacing the head only --
+// existing nodes are immutable -- and the walked head (id = idk) is
+// never appended to (idk is excluded from both kept vectors), and (c)
+// dvec/kap arrays are reserved to m2 upfront.  Operation order inside
+// each vector is identical to the serial kernel, so the factorization is
+// bit-identical to crout_core (asserted by tests).
+template <class VT>
+void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                    const VT *Av, const VT *d0, double kappa_d,
+                    double kappa, double tau_L, double tau_U, double alpha_L,
+                    double alpha_U, const i64 *row_ref, const i64 *col_ref,
+                    double schur_aL, double schur_aU) {
+  auto t_begin = std::chrono::steady_clock::now();
+  auto *res = new Result<VT>();
+  res->n = n;
+
+  std::vector<i64> Cp;
+  std::vector<i32> Ci;
+  std::vector<VT> Cv;
+  ht::transpose_csr(n, n, Ap, Ai, Av, Cp, Ci, Cv);
+
+  std::vector<VT> d(d0, d0 + m2);
+  std::vector<unsigned char> status(n, 0);
+  // hard capacity bounds from the space-dropping caps (no realloc allowed:
+  // the other thread walks these pools concurrently)
+  i64 cap_u_sum = 16, cap_l_sum = 16;
+  for (i64 i = 0; i < m2; ++i) {
+    cap_u_sum += (i64)std::ceil(alpha_U * (double)row_ref[i]);
+    cap_l_sum += (i64)std::ceil(alpha_L * (double)col_ref[i]);
+  }
+  Adj<VT> rows_of_L(n, cap_l_sum), cols_of_U(n, cap_u_sum);
+
+  std::vector<i64> Lptr{0}, Uptr{0};
+  std::vector<i64> Lend, Uend;
+  std::vector<i32> Lids, Uids;
+  std::vector<VT> Lvals, Uvals;
+  std::vector<VT> dvec, kap_u, kap_l;
+  std::vector<i64> deferred;
+  Lids.reserve(cap_l_sum);
+  Lvals.reserve(cap_l_sum);
+  Uids.reserve(cap_u_sum);
+  Uvals.reserve(cap_u_sum);
+  Lptr.reserve(m2 + 1);
+  Uptr.reserve(m2 + 1);
+  Lend.reserve(m2);
+  Uend.reserve(m2);
+  dvec.reserve(m2);
+  kap_u.reserve(m2);
+  kap_l.reserve(m2);
+  deferred.reserve(m2);
+
+  struct TP { i32 tag; i32 pos; };
+  std::vector<TP> wu(n, TP{-1, 0}), wl(n, TP{-1, 0});
+  std::vector<i32> ut_ids, l_ids;
+  std::vector<VT> utv, lv;
+  std::vector<DropEnt<VT>> keep0, keep1;
+
+  // sync cells (idk-stamped, monotonically increasing)
+  struct alignas(64) Cell { std::atomic<i64> v; };
+  Cell c_t0{{-1}}, c_kl{{-1}}, c_utv{{-1}}, c_t1{{-1}};
+  VT ku_slot = VT(0.0), kl_slot = VT(0.0);
+  constexpr i64 SKIP_BIT = 1;  // c_t0.v = idk*2 | SKIP_BIT on diag-defer
+  auto spin_until = [](std::atomic<i64> &a, i64 want) {
+    while (a.load(std::memory_order_acquire) < want) _mm_pause();
+  };
+
+  i64 step_t0 = 0;
+  i64 nnum0 = 0, nsp0 = 0, nnum1 = 0, nsp1 = 0;
+
+  std::thread worker([&]() {
+    i64 step = 0;
+    for (i64 idk = 0; idk < m2; ++idk) {
+      spin_until(c_t0.v, idk * 2);
+      const bool diag_skip = c_t0.v.load(std::memory_order_acquire) ==
+                             idk * 2 + SKIP_BIT;
+      if (diag_skip) {
+        c_t1.v.store(idk, std::memory_order_release);
+        continue;
+      }
+      const VT ku = ku_slot;
+      // kappa_l over rows_of_L (owned by this thread)
+      VT kl = VT(1.0);
+      if (step) {
+        VT sum = VT(0.0);
+        for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt)
+          sum += kap_l[rows_of_L.pool[e].step] * rows_of_L.pool[e].val;
+        const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
+        kl = std::abs(k1) < std::abs(k2) ? k2 : k1;
+      }
+      kl_slot = kl;
+      c_kl.v.store(idk, std::memory_order_release);
+      if (std::abs(ku) > kappa || std::abs(kl) > kappa) {
+        c_t1.v.store(idk, std::memory_order_release);
+        continue;
+      }
+      const VT dk = d[idk];
+      const i32 stp = (i32)step;
+
+      // ---- compute l ----
+      l_ids.clear();
+      lv.clear();
+      for (i64 k = Cp[idk]; k < Cp[idk + 1]; ++k) {
+        const i32 r = Ci[k];
+        if (status[r] != 1 && r != idk) {
+          wl[r].tag = stp;
+          wl[r].pos = (i32)l_ids.size();
+          l_ids.push_back(r);
+          lv.push_back(Cv[k]);
+        }
+      }
+      for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt) {
+        const i32 j = cols_of_U.pool[e].step;
+        const VT du = dvec[j] * cols_of_U.pool[e].val;
+        i64 k = Lptr[j], end = Lend[j];
+        while (k < end) {
+          const i32 r = Lids[k];
+          if (k + 8 < end) __builtin_prefetch(&wl[Lids[k + 8]], 1, 1);
+          if (status[r] == 1) {
+            --end;
+            std::swap(Lids[k], Lids[end]);
+            std::swap(Lvals[k], Lvals[end]);
+            continue;
+          }
+          if (r != idk) {
+            if (wl[r].tag != stp) {
+              wl[r].tag = stp;
+              wl[r].pos = (i32)l_ids.size();
+              l_ids.push_back(r);
+              lv.push_back(-du * Lvals[k]);
+            } else
+              lv[wl[r].pos] -= du * Lvals[k];
+          }
+          ++k;
+        }
+        Lend[j] = end;
+      }
+
+      // ---- diag update needs the scaled ut ----
+      spin_until(c_utv.v, idk);
+      if (ut_ids.size() <= l_ids.size()) {
+        for (i64 k = 0; k < (i64)ut_ids.size(); ++k) {
+          const i32 c = ut_ids[k];
+          if (c < m2 && status[c] == 0 && wl[c].tag == stp)
+            d[c] -= utv[k] * lv[wl[c].pos];
+        }
+      } else {
+        for (i64 k = 0; k < (i64)l_ids.size(); ++k) {
+          const i32 c = l_ids[k];
+          if (c < m2 && status[c] == 0 && wu[c].tag == stp)
+            d[c] -= utv[wu[c].pos] * lv[k];
+        }
+      }
+      const VT dk_inv = VT(1.0) / dk;
+      for (VT &v : lv) v *= dk_inv;
+
+      // ---- drop + push L ----
+      const i64 kept = drop_vec(l_ids, lv, tau_L, std::abs(kl) * kappa_d,
+                                alpha_L, col_ref[idk], nnum1, nsp1, keep1);
+      for (i64 k = 0; k < kept; ++k) {
+        if (k + 8 < kept)
+          __builtin_prefetch(&rows_of_L.head[keep1[k + 8].id], 1, 1);
+        Lids.push_back(keep1[k].id);
+        Lvals.push_back(keep1[k].val);
+        rows_of_L.add(keep1[k].id, stp, keep1[k].val);
+      }
+      Lptr.push_back((i64)Lids.size());
+      Lend.push_back((i64)Lids.size());
+      kap_l.push_back(kl);
+      ++step;
+      c_t1.v.store(idk, std::memory_order_release);
+    }
+  });
+
+  for (i64 idk = 0; idk < m2; ++idk) {
+    spin_until(c_t1.v, idk - 1);  // previous step fully done (d visible)
+    const VT dk = d[idk];
+    if (dk == VT(0.0) || std::abs(VT(1.0) / dk) > kappa_d) {
+      ++res->stats[1];
+      status[idk] = 2;
+      deferred.push_back(idk);
+      c_t0.v.store(idk * 2 + SKIP_BIT, std::memory_order_release);
+      continue;
+    }
+    VT ku = VT(1.0);
+    if (step_t0) {
+      VT sum = VT(0.0);
+      for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt)
+        sum += kap_u[cols_of_U.pool[e].step] * cols_of_U.pool[e].val;
+      const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
+      ku = std::abs(k1) < std::abs(k2) ? k2 : k1;
+    }
+    ku_slot = ku;
+    c_t0.v.store(idk * 2, std::memory_order_release);
+    spin_until(c_kl.v, idk);
+    const VT kl = kl_slot;
+    if (std::abs(ku) > kappa || std::abs(kl) > kappa) {
+      ++res->stats[2];
+      status[idk] = 2;
+      deferred.push_back(idk);
+      continue;  // T1 made the same decision and already moved on
+    }
+    const i32 stp = (i32)step_t0;
+
+    // ---- compute ut ----
+    ut_ids.clear();
+    utv.clear();
+    for (i64 k = Ap[idk]; k < Ap[idk + 1]; ++k) {
+      const i32 c = Ai[k];
+      if (status[c] != 1 && c != idk) {
+        wu[c].tag = stp;
+        wu[c].pos = (i32)ut_ids.size();
+        ut_ids.push_back(c);
+        utv.push_back(Av[k]);
+      }
+    }
+    for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt) {
+      const i32 j = rows_of_L.pool[e].step;
+      const VT ld = rows_of_L.pool[e].val * dvec[j];
+      i64 k = Uptr[j], end = Uend[j];
+      while (k < end) {
+        const i32 c = Uids[k];
+        if (k + 8 < end) __builtin_prefetch(&wu[Uids[k + 8]], 1, 1);
+        if (status[c] == 1) {
+          --end;
+          std::swap(Uids[k], Uids[end]);
+          std::swap(Uvals[k], Uvals[end]);
+          continue;
+        }
+        if (c != idk) {
+          if (wu[c].tag != stp) {
+            wu[c].tag = stp;
+            wu[c].pos = (i32)ut_ids.size();
+            ut_ids.push_back(c);
+            utv.push_back(-ld * Uvals[k]);
+          } else
+            utv[wu[c].pos] -= ld * Uvals[k];
+        }
+        ++k;
+      }
+      Uend[j] = end;
+    }
+    const VT dk_inv = VT(1.0) / dk;
+    for (VT &v : utv) v *= dk_inv;
+    c_utv.v.store(idk, std::memory_order_release);
+
+    // ---- drop + push U (T1 does the diag update + L side concurrently) --
+    const i64 kept = drop_vec(ut_ids, utv, tau_U, std::abs(ku) * kappa_d,
+                              alpha_U, row_ref[idk], nnum0, nsp0, keep0);
+    for (i64 k = 0; k < kept; ++k) {
+      if (k + 8 < kept)
+        __builtin_prefetch(&cols_of_U.head[keep0[k + 8].id], 1, 1);
+      Uids.push_back(keep0[k].id);
+      Uvals.push_back(keep0[k].val);
+      cols_of_U.add(keep0[k].id, stp, keep0[k].val);
+    }
+    Uptr.push_back((i64)Uids.size());
+    Uend.push_back((i64)Uids.size());
+    kap_u.push_back(ku);
+    dvec.push_back(dk);
+    status[idk] = 1;
+    ++step_t0;
+  }
+  worker.join();
+
+  res->stats[3] = nsp0 + nsp1;
+  res->stats[4] = nnum0 + nsp0 + nnum1 + nsp1;
+  const i64 m = step_t0;
+  res->m = m;
+  res->stats[0] = (i64)deferred.size();
+  const bool prof = std::getenv("HT_PROFILE") != nullptr;
+  auto t_loop_end = std::chrono::steady_clock::now();
+
+  std::vector<i64> ordR;
+  ordR.reserve(n);
+  for (i64 id = 0; id < m2; ++id)
+    if (status[id] == 1) ordR.push_back(id);
+  for (i64 id = m2; id < n; ++id) ordR.push_back(id);
+  for (i64 id : deferred) ordR.push_back(id);
+  finalize_core<VT>(res, n, m, Ap, Ai, Av, row_ref, col_ref, schur_aL,
+                    schur_aU, ordR, ordR, Lptr, Lids, Lvals, Uptr, Uids,
+                    Uvals, dvec);
+  if (prof) {
+    auto t_end = std::chrono::steady_clock::now();
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration<double, std::milli>(b - a).count();
+    };
+    std::fprintf(stderr,
+                 "[ht_crout mt] n=%lld m=%lld loop=%.0fms post=%.0fms\n",
+                 (long long)n, (long long)m, ms(t_begin, t_loop_end),
+                 ms(t_loop_end, t_end));
+  }
+  return res;
 }
 
 template <class VT>
@@ -454,6 +797,16 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   // Python anchor for mode 2 is crout_level_np(..., symm_mode=2).
   const bool ldlt = symmetric == 1;
   const bool mir = symmetric == 2;
+
+  // fat levels run the dual-thread variant (identical results); requires
+  // positive space-dropping caps for the no-realloc pool guarantee
+  if (!ldlt && !mir && alpha_L > 0.0 && alpha_U > 0.0 && m2 > 0 &&
+      n >= 16384 && Ap[n] >= 12 * n && std::getenv("HT_NO_MT") == nullptr) {
+    delete res;
+    return crout_core_mt<VT>(n, m2, Ap, Ai, Av, d0, kappa_d, kappa, tau_L,
+                             tau_U, alpha_L, alpha_U, row_ref, col_ref,
+                             schur_aL, schur_aU);
+  }
 
   // CSC of Ahat
   std::vector<i64> Cp;
