@@ -231,6 +231,12 @@ class CSR:
 
     def diagonal(self) -> np.ndarray:
         nd = min(self.nrows, self.ncols)
+        if self.data.dtype == np.float64:
+            from ..pre import _native
+
+            out = _native.diagonal(self, nd)
+            if out is not None:
+                return out
         d = np.zeros(nd, dtype=self.data.dtype)
         rows = np.repeat(np.arange(self.nrows, dtype=np.int64), self.row_nnz())
         on_diag = rows == self.indices

@@ -1572,6 +1572,30 @@ HT_API void ht_res_copy_mat(void *h, int what, i64 *indptr, i32 *indices,
     res_copy_mat_t<double>(h, what, indptr, indices, vals);
 }
 
+// raw pointers into the result vectors (zero-copy export; the Python side
+// keeps the handle alive for the lifetime of the wrapping arrays)
+template <class VT>
+static void res_ptrs_t(void *h, int what, void **pp, void **pi, void **pv) {
+  auto *r = (Result<VT> *)h;
+  const std::vector<i64> *p;
+  const std::vector<i32> *i;
+  const std::vector<VT> *v;
+  if (what == 0) { p = &r->Lp; i = &r->Li; v = &r->Lv; }
+  else if (what == 1) { p = &r->Up; i = &r->Ui; v = &r->Uv; }
+  else if (what == 2) { p = &r->Sp; i = &r->Si; v = &r->Sv; }
+  else if (what == 3) { p = &r->Ep; i = &r->Ei; v = &r->Ev; }
+  else { p = &r->Fp; i = &r->Fi; v = &r->Fv; }
+  *pp = (void *)p->data();
+  *pi = (void *)i->data();
+  *pv = (void *)v->data();
+}
+HT_API void ht_res_ptrs(void *h, int what, void **pp, void **pi, void **pv) {
+  if (res_cplx(h))
+    res_ptrs_t<std::complex<double>>(h, what, pp, pi, pv);
+  else
+    res_ptrs_t<double>(h, what, pp, pi, pv);
+}
+
 HT_API void ht_res_copy_d(void *h, double *out) {
   if (res_cplx(h)) {
     auto *r = (Result<std::complex<double>> *)h;

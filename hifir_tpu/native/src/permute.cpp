@@ -23,3 +23,33 @@ HT_API void ht_permute_scale(i64 n, const i64 *Ap, const i32 *Ai,
     Bp[i + 1] = w;
   }
 }
+
+// counting CSR -> CSC transpose (columns sorted by construction); MC64 and
+// the Crout kernel consume unsorted/sorted alike, so no comparison sorts
+HT_API void ht_transpose(i64 nrows, i64 ncols, const i64 *Ap, const i32 *Ai,
+                         const double *Av, i64 *Bp, i32 *Bi, double *Bv) {
+  const i64 nnz = Ap[nrows];
+  for (i64 j = 0; j <= ncols; ++j) Bp[j] = 0;
+  for (i64 k = 0; k < nnz; ++k) ++Bp[Ai[k] + 1];
+  for (i64 j = 0; j < ncols; ++j) Bp[j + 1] += Bp[j];
+  std::vector<i64> nx(Bp, Bp + ncols);
+  for (i64 i = 0; i < nrows; ++i)
+    for (i64 k = Ap[i]; k < Ap[i + 1]; ++k) {
+      const i64 pos = nx[Ai[k]]++;
+      Bi[pos] = (i32)i;
+      Bv[pos] = Av[k];
+    }
+}
+
+// diagonal of a CSR (first match per row; rows need not be sorted)
+HT_API void ht_diag(i64 n, const i64 *Ap, const i32 *Ai, const double *Av,
+                    i64 nd, double *out) {
+  for (i64 i = 0; i < nd; ++i) {
+    out[i] = 0.0;
+    for (i64 k = Ap[i]; k < Ap[i + 1]; ++k)
+      if (Ai[k] == (i32)i) {
+        out[i] = Av[k];
+        break;
+      }
+  }
+}

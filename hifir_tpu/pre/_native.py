@@ -74,6 +74,10 @@ def _load() -> Optional[ctypes.CDLL]:
         _bind(lib, "ht_res_copy_ord", None, [ctypes.c_void_p, _I64])
         _bind(lib, "ht_res_copy_stats", None, [ctypes.c_void_p, _I64])
         _bind(lib, "ht_res_free", None, [ctypes.c_void_p])
+        _bind(lib, "ht_res_ptrs", None,
+              [ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+               ctypes.POINTER(ctypes.c_void_p),
+               ctypes.POINTER(ctypes.c_void_p)])
     lib._has_trsv = (
         _bind(lib, "ht_trsv_lower", None, [c, _I64, _I32, _F64, _F64]) and
         _bind(lib, "ht_trsv_upper", None, [c, _I64, _I32, _F64, _F64]))
@@ -97,20 +101,93 @@ def has_crout_z() -> bool:
     return bool(lib is not None and getattr(lib, "_has_crout_z", False))
 
 
+class _ResultHandle:
+    """Keeps a native crout result alive while numpy views reference it."""
+
+    __slots__ = ("_lib", "_h")
+
+    def __init__(self, lib, h):
+        self._lib, self._h = lib, h
+
+    def __del__(self):  # pragma: no cover - interpreter shutdown ordering
+        try:
+            self._lib.ht_res_free(self._h)
+        except Exception:
+            pass
+
+
+def _wrap_native(addr, dtype, count, owner):
+    """numpy view over a native buffer; `owner` is attached to the ctypes
+    buffer object (which numpy keeps via .base) so the native memory
+    outlives every view."""
+    dtype = np.dtype(dtype)
+    if count <= 0 or not addr:
+        return np.empty(0, dtype=dtype)
+    buf = (ctypes.c_byte * (count * dtype.itemsize)).from_address(addr)
+    buf._owner = owner
+    return np.frombuffer(buf, dtype=dtype)
+
+
+def transpose(A) -> Optional[tuple]:
+    """Native counting CSR->CSC transpose (columns sorted, O(nnz), no
+    comparison sorts); returns (indptr, indices, vals) or None."""
+    lib = _load()
+    if lib is None or A.data.dtype != np.float64:
+        return None
+    if not hasattr(lib, "_has_tr"):
+        lib._has_tr = _bind(lib, "ht_transpose", None,
+                            [ctypes.c_int64, ctypes.c_int64, _I64, _I32,
+                             _F64, _I64, _I32, _F64])
+    if not lib._has_tr:
+        return None
+    nnz = A.indptr[A.nrows]
+    Bp = np.empty(A.ncols + 1, dtype=np.int64)
+    Bi = np.empty(max(nnz, 1), dtype=np.int32)
+    Bv = np.empty(max(nnz, 1), dtype=np.float64)
+    lib.ht_transpose(A.nrows, A.ncols, A.indptr, A.indices, A.data,
+                     Bp, Bi, Bv)
+    return Bp, Bi[:nnz], Bv[:nnz]
+
+
+def diagonal(A, nd: int) -> Optional[np.ndarray]:
+    """Native CSR diagonal extraction; returns out[:nd] or None."""
+    lib = _load()
+    if lib is None or A.data.dtype != np.float64:
+        return None
+    if not hasattr(lib, "_has_diag"):
+        lib._has_diag = _bind(lib, "ht_diag", None,
+                              [ctypes.c_int64, _I64, _I32, _F64,
+                               ctypes.c_int64, _F64])
+    if not lib._has_diag:
+        return None
+    out = np.empty(nd, dtype=np.float64)
+    lib.ht_diag(A.nrows, A.indptr, A.indices, A.data, nd, out)
+    return out
+
+
 def mc64(B) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Native MC64-equivalent matching; same contract as
     :func:`hifir_tpu.pre.matching.mc64_matching`."""
     lib = _load()
     n = B.nrows
-    AT = B.tocsc()
+    if np.iscomplexobj(B.data):
+        AT = B.tocsc()
+        ATp, ATi, ATv = (AT.indptr, AT.indices,
+                         np.ascontiguousarray(np.abs(AT.data),
+                                              dtype=np.float64))
+    else:
+        # matching needs the CSC view but not sorted columns: the native
+        # counting transpose skips scipy's comparison sorts
+        trip = transpose(B)
+        if trip is not None:
+            ATp, ATi, ATv = trip
+        else:
+            AT = B.tocsc()
+            ATp, ATi, ATv = AT.indptr, AT.indices, AT.data
     p = np.empty(n, dtype=np.int64)
     s = np.empty(n, dtype=np.float64)
     t = np.empty(n, dtype=np.float64)
-    data = AT.data
-    if np.iscomplexobj(data):
-        data = np.abs(data)  # matching costs only use magnitudes
-    info = lib.ht_mc64(n, AT.indptr, AT.indices,
-                       np.ascontiguousarray(data, dtype=np.float64), p, s, t)
+    info = lib.ht_mc64(n, ATp, ATi, np.ascontiguousarray(ATv), p, s, t)
     if info < 0:
         raise RuntimeError(f"native mc64 failed with {info}")
     return p, s, t, info
@@ -175,38 +252,41 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
            schur_aL, schur_aU, int(symmetric))
     if not h:
         raise RuntimeError("native crout failed")
-    try:
-        m = lib.ht_res_m(h)
-        nm = n - m
+    owner = _ResultHandle(lib, h)
+    m = lib.ht_res_m(h)
+    nm = n - m
 
-        def _mat(what, nrows):
-            nnz = lib.ht_res_nnz(h, what)
-            indptr = np.empty(nrows + 1, dtype=np.int64)
-            indices = np.empty(max(nnz, 1), dtype=np.int32)
-            vals = np.empty(max(nnz, 1), dtype=vdt)
-            lib.ht_res_copy_mat(h, what, indptr, indices,
-                                vals.view(np.float64))
-            return indptr, indices[:nnz], vals[:nnz]
+    def _mat(what, nrows):
+        # zero-copy: wrap the C++ result vectors directly; `owner` keeps
+        # the native buffers alive for the lifetime of the arrays
+        nnz = lib.ht_res_nnz(h, what)
+        pp = ctypes.c_void_p()
+        pi = ctypes.c_void_p()
+        pv = ctypes.c_void_p()
+        lib.ht_res_ptrs(h, what, ctypes.byref(pp), ctypes.byref(pi),
+                        ctypes.byref(pv))
+        indptr = _wrap_native(pp.value, np.int64, nrows + 1, owner)
+        indices = _wrap_native(pi.value, np.int32, nnz, owner)
+        vals = _wrap_native(pv.value, vdt, nnz, owner)
+        return indptr, indices, vals
 
-        L = _mat(0, m)
-        U = _mat(1, m)
-        S = _mat(2, nm)
-        E = _mat(3, nm)
-        F = _mat(4, m)
-        d = np.empty(m, dtype=vdt)
-        if m:
-            lib.ht_res_copy_d(h, d.view(np.float64))
-        # ord holds row and column orderings back to back (they coincide
-        # for the non-pivoting kernel)
-        ordf = np.empty(2 * n, dtype=np.int64)
-        lib.ht_res_copy_ord(h, ordf)
-        ordf = ordf.reshape(2, n)
-        if np.array_equal(ordf[0], ordf[1]):
-            ordf = ordf[0]
-        stats = np.empty(6, dtype=np.int64)
-        lib.ht_res_copy_stats(h, stats)
-    finally:
-        lib.ht_res_free(h)
+    L = _mat(0, m)
+    U = _mat(1, m)
+    S = _mat(2, nm)
+    E = _mat(3, nm)
+    F = _mat(4, m)
+    d = np.empty(m, dtype=vdt)
+    if m:
+        lib.ht_res_copy_d(h, d.view(np.float64))
+    # ord holds row and column orderings back to back (they coincide
+    # for the non-pivoting kernel)
+    ordf = np.empty(2 * n, dtype=np.int64)
+    lib.ht_res_copy_ord(h, ordf)
+    ordf = ordf.reshape(2, n)
+    if np.array_equal(ordf[0], ordf[1]):
+        ordf = ordf[0]
+    stats = np.empty(6, dtype=np.int64)
+    lib.ht_res_copy_stats(h, stats)
     return m, L, U, S, E, F, d, ordf, stats
 
 
@@ -383,4 +463,4 @@ def sym_leading_pattern(A, p: np.ndarray, q: np.ndarray, m: int):
     Pi = np.empty(max(cap, 1), dtype=np.int32)
     nnz = lib.ht_sym_leading_pattern(A.nrows, A.indptr, A.indices, p, q, m,
                                      Pp, Pi)
-    return Pp, Pi[:nnz].copy()
+    return Pp, Pi[:nnz]
