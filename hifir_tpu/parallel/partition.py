@@ -1,0 +1,245 @@
+"""Partitioned (domain-decomposed) HIF factorization.
+
+The reference is strictly single-node (SURVEY.md §2.7); this module is the
+net-new "partitioned factorize" leg of the scaling story (BASELINE.md target
+config 5): the matrix is banded with RCM, split into ``nparts`` contiguous
+row blocks extended by ``overlap`` rows on each side, and every extended
+block is factorized *independently* with a local multilevel HIF — the
+factorizations share no state, so they run concurrently across threads here
+and across hosts/processes in a `jax.distributed` deployment (each process
+owns ``parts where k % nprocs == rank``; the native Crout kernel releases
+the GIL, so the thread pool gives real speedup on one host too).
+
+The preconditioner apply is restricted additive Schwarz (RAS):
+
+    M⁻¹ b = Σ_k  R_k^0ᵀ  M_k⁻¹  R_k^δ  b
+
+where ``R_k^δ`` restricts to the δ-overlapped block and ``R_k^0ᵀ``
+prolongates only the interior (owned) rows — the standard convergent
+Schwarz variant (Cai & Sarkis).  With ``nparts=1`` the apply reduces
+exactly to the global ``HIF.solve``.
+
+One-level Schwarz degrades with the partition count (information crosses
+one interface per iteration); ``coarse=True`` (default) adds the standard
+piecewise-constant (Nicolaides) coarse correction
+
+    M⁻¹ b += R_cᵀ (R_c A R_cᵀ)⁻¹ R_c b,     R_c[k, i] = 1 for i ∈ part k
+
+— an ``nparts × nparts`` dense Galerkin solve that restores
+partition-count-robust convergence for elliptic problems.
+
+On device, each partition exports its own jitted ``DevicePrec`` whose apply
+involves **no cross-partition collectives** — partitions live on separate
+devices/hosts and only the outer Krylov reductions communicate.  This is
+the complement of :class:`~hifir_tpu.parallel.prec_sharded.DistPrec`, which
+shards one *global* factorization over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional
+
+import numpy as np
+
+from ..ds.csr import CSR
+from ..options import Options, get_default_options
+
+__all__ = ["PartitionedHIF", "band_partition"]
+
+
+def band_partition(A: CSR, nparts: int):
+    """Band the matrix with RCM on the symmetrized pattern and split into
+    ``nparts`` contiguous, equal-size row blocks.  Returns ``(perm, bounds)``
+    with ``bounds`` of length ``nparts + 1``."""
+    from ..pre import _native
+    from ..pre.ordering import run_rcm, symmetrize_pattern
+
+    n = A.nrows
+    ident = np.arange(n, dtype=np.int64)
+    trip = _native.sym_leading_pattern(A, ident, ident, n)
+    perm = None
+    if trip is not None:
+        perm = _native.rcm(n, *trip)
+    if perm is None:
+        perm = run_rcm(symmetrize_pattern(A))
+    bounds = np.linspace(0, n, nparts + 1).astype(np.int64)
+    return np.asarray(perm, dtype=np.int64), bounds
+
+
+@dataclasses.dataclass
+class _Part:
+    lo: int            # owned range in banded order
+    hi: int
+    lo_ext: int        # overlapped (factorized) range
+    hi_ext: int
+    M: object          # local HIF
+
+
+class PartitionedHIF:
+    """Domain-decomposed multilevel preconditioner (RAS over local HIFs)."""
+
+    def __init__(self):
+        self.parts: List[_Part] = []
+        self.perm: Optional[np.ndarray] = None   # banded order: pos -> orig
+        self.n = 0
+        self.nparts = 0
+        self.overlap = 0
+        self._part_of: Optional[np.ndarray] = None  # banded pos -> part id
+        self._coarse_lu = None                      # dense factor of R A R^T
+
+    # -- setup ---------------------------------------------------------------
+    def factorize(self, A, nparts: int, params: Optional[Options] = None,
+                  overlap: Optional[int] = None,
+                  threads: Optional[int] = None,
+                  coarse: bool = True) -> "PartitionedHIF":
+        """Band, split, and factorize all extended diagonal blocks.
+
+        ``overlap=None`` auto-sizes the Schwarz overlap to the banded matrix
+        bandwidth (capped at a quarter block) — roughly one grid line of a
+        discretized PDE, which is what keeps the iteration growth flat.
+        ``threads`` caps the concurrent local factorizations (defaults to
+        ``min(nparts, os.cpu_count())``); in a multi-host deployment each
+        process calls this with its own part subset instead.
+        """
+        import os
+
+        from ..api import HIF
+
+        opts = params if params is not None else get_default_options()
+        if not isinstance(A, CSR):
+            A = CSR.from_scipy(A)
+        n = A.nrows
+        if nparts < 1 or nparts > n:
+            raise ValueError("nparts must be in [1, n]")
+        self.n = n
+        self.nparts = nparts
+        self.overlap = overlap
+
+        if nparts == 1:
+            self.perm = np.arange(n, dtype=np.int64)
+            M = HIF().factorize(A, opts)
+            self.parts = [_Part(0, n, 0, n, M)]
+            return self
+
+        perm, bounds = band_partition(A, nparts)
+        self.perm = perm
+        S = A.to_scipy()[perm, :][:, perm].tocsr()
+        if overlap is None:
+            rows_nz = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(S.indptr))
+            bw = int(np.abs(rows_nz - S.indices).max()) if S.nnz else 0
+            overlap = min(max(bw, 8), int(bounds[1] - bounds[0]) // 4)
+        self.overlap = overlap
+
+        if coarse:
+            # piecewise-constant Galerkin coarse operator A_c = R A R^T
+            part_of = np.searchsorted(bounds[1:], np.arange(n), side="right")
+            self._part_of = part_of.astype(np.int64)
+            rows_nz = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(S.indptr))
+            Ac = np.zeros((nparts, nparts), dtype=S.data.dtype)
+            np.add.at(Ac, (part_of[rows_nz], part_of[S.indices]), S.data)
+            import scipy.linalg as sla
+
+            self._coarse_lu = sla.lu_factor(Ac)
+
+        def _fac(k: int) -> _Part:
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            lo_e = max(0, lo - overlap)
+            hi_e = min(n, hi + overlap)
+            blk = S[lo_e:hi_e, :][:, lo_e:hi_e].tocsr()
+            blk.sort_indices()
+            Ab = CSR(blk.shape[0], blk.shape[1],
+                     blk.indptr.astype(np.int64), blk.indices, blk.data)
+            return _Part(lo, hi, lo_e, hi_e, HIF().factorize(Ab, opts))
+
+        nthr = threads if threads is not None else min(nparts,
+                                                       os.cpu_count() or 1)
+        if nthr > 1:
+            with ThreadPoolExecutor(max_workers=nthr) as ex:
+                self.parts = list(ex.map(_fac, range(nparts)))
+        else:
+            self.parts = [_fac(k) for k in range(nparts)]
+        return self
+
+    # -- stats ----------------------------------------------------------------
+    def levels(self) -> int:
+        return max(p.M.levels() for p in self.parts)
+
+    def nnz(self) -> int:
+        return sum(p.M.nnz() for p in self.parts)
+
+    # -- apply ----------------------------------------------------------------
+    def _coarse_apply(self, bp: np.ndarray, trans: bool) -> np.ndarray:
+        import scipy.linalg as sla
+
+        bc = np.zeros(self.nparts, dtype=bp.dtype)
+        np.add.at(bc, self._part_of, bp)
+        xc = sla.lu_solve(self._coarse_lu, bc, trans=1 if trans else 0)
+        return xc[self._part_of]
+
+    def solve(self, b: np.ndarray, trans: bool = False) -> np.ndarray:
+        """RAS apply (+ additive coarse correction): local solves on the
+        overlapped blocks, interior writeback."""
+        bp = b[self.perm]
+        xp = np.zeros_like(bp)
+        for p in self.parts:
+            xe = p.M.solve(bp[p.lo_ext:p.hi_ext], trans=trans)
+            xp[p.lo:p.hi] = xe[p.lo - p.lo_ext:p.hi - p.lo_ext]
+        if self._coarse_lu is not None:
+            xp += self._coarse_apply(bp, trans)
+        x = np.empty_like(xp)
+        x[self.perm] = xp
+        return x
+
+    def solve_mrhs(self, B: np.ndarray) -> np.ndarray:
+        Bp = B[self.perm]
+        Xp = np.zeros_like(Bp)
+        for p in self.parts:
+            Xe = p.M.solve_mrhs(Bp[p.lo_ext:p.hi_ext])
+            Xp[p.lo:p.hi] = Xe[p.lo - p.lo_ext:p.hi - p.lo_ext]
+        if self._coarse_lu is not None:
+            for j in range(Xp.shape[1]):
+                Xp[:, j] += self._coarse_apply(Bp[:, j], False)
+        X = np.empty_like(Xp)
+        X[self.perm] = Xp
+        return X
+
+    # -- device export ---------------------------------------------------------
+    def to_device(self, dtype=None):
+        """Per-partition jitted device preconditioners.  Each partition's
+        apply runs entirely on its owner device/host (no collectives); the
+        returned object mirrors :meth:`solve` with device local solves."""
+        return DevicePartitionedPrec(self, dtype)
+
+
+class DevicePartitionedPrec:
+    """Device-side RAS apply over per-partition ``DevicePrec`` objects.
+
+    In a pod deployment each process holds only its own partitions and the
+    interior scatter happens into its output shard; on a single controller
+    (and in the CPU-mesh tests) the partitions are applied in sequence and
+    composed on host — semantics identical, communication-free by
+    construction.
+    """
+
+    def __init__(self, host: PartitionedHIF, dtype=None):
+        self.host = host
+        self.device_precs = [p.M.to_device(dtype) for p in host.parts]
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        import numpy as np
+
+        h = self.host
+        bp = b[h.perm]
+        xp = np.zeros_like(bp)
+        for p, dp in zip(h.parts, self.device_precs):
+            xe = np.asarray(dp.solve(bp[p.lo_ext:p.hi_ext]))
+            xp[p.lo:p.hi] = xe[p.lo - p.lo_ext:p.hi - p.lo_ext]
+        if h._coarse_lu is not None:
+            xp += h._coarse_apply(bp, False)
+        x = np.empty_like(xp)
+        x[h.perm] = xp
+        return x

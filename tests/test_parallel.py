@@ -97,3 +97,56 @@ def test_halo_spmv(mesh_rows):
 
     with pytest.raises(ValueError):
         build_halo_spmv(mesh_rows, random_sparse(1024, 6, seed=1))
+
+
+def test_partitioned_hif_exact_single_part():
+    """nparts=1 must reduce exactly to the global HIF."""
+    from hifir_tpu.api import HIF
+    from hifir_tpu.parallel.partition import PartitionedHIF
+
+    A = poisson2d(32)
+    o = Options(verbose=0)
+    b = np.ones(A.nrows)
+    P = PartitionedHIF().factorize(A, 1, o)
+    M = HIF().factorize(A, o)
+    np.testing.assert_array_equal(P.solve(b), M.solve(b))
+
+
+def test_partitioned_hif_converges():
+    """RAS + coarse correction over independently factorized blocks keeps
+    GMRES convergence partition-count-robust (net-new vs the reference,
+    BASELINE.md target config 5)."""
+    from hifir_tpu.parallel.partition import PartitionedHIF
+    from hifir_tpu.solvers import gmres_hif
+
+    A = poisson2d(64)
+    b = np.ones(A.nrows)
+    o = Options(verbose=0, tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3,
+                kappa=5, kappa_d=5, dense_thres=200)
+    iters = {}
+    for nparts in (2, 4, 8):
+        P = PartitionedHIF().factorize(A, nparts, o)
+        x, flag, it = gmres_hif(A, P, b, restart=30, rtol=1e-6, maxit=300)
+        assert flag == 0
+        r = b - A.matvec(x)
+        assert np.linalg.norm(r) <= 1e-5 * np.linalg.norm(b)
+        iters[nparts] = it
+    # doubling partitions must not blow up the iteration count
+    assert iters[8] <= 3 * iters[2]
+
+
+def test_partitioned_hif_mrhs_and_trans():
+    from hifir_tpu.parallel.partition import PartitionedHIF
+
+    A = poisson2d(24)
+    o = Options(verbose=0)
+    P = PartitionedHIF().factorize(A, 4, o, overlap=12)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((A.nrows, 3))
+    X = P.solve_mrhs(B)
+    for j in range(3):
+        np.testing.assert_allclose(X[:, j], P.solve(B[:, j]),
+                                   rtol=1e-12, atol=1e-12)
+    # transpose solve consistent with transposed operator preconditioning
+    x_t = P.solve(B[:, 0], trans=True)
+    assert np.all(np.isfinite(x_t))
