@@ -65,13 +65,20 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
 
   for (i64 i = 0; i < n; ++i) {
     auto &a = g.adjA[i];
+    a.reserve(indptr[i + 1] - indptr[i]);
     for (i64 k = indptr[i]; k < indptr[i + 1]; ++k)
       if (indices[k] != i) a.push_back(indices[k]);
-    std::sort(a.begin(), a.end());
-    a.erase(std::unique(a.begin(), a.end()), a.end());
     g.deg[i] = (i64)a.size();
     g.bucket_insert((i32)i);
   }
+  // exact live weight of each element's member set, maintained
+  // incrementally: set at element formation; unchanged by supervariable
+  // merges (the merged pair has identical element sets, weight just moves
+  // between the two) and by mass elimination (the absorbed variable is a
+  // member of the new element only); elements adjacent to an eliminated
+  // pivot are absorbed and die.  Replaces the O(|L_e|) member rescans in
+  // the w-trick and the esum fallback.
+  std::vector<i64> elem_w(n, 0);
 
   std::vector<i64> w(n, -1);        // |L_e \ Lp| workspace
   std::vector<i64> mark(n, -1);     // membership stamp
@@ -120,6 +127,11 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
     }
     // p becomes an element with members Lp
     g.is_elem[p] = 1;
+    {
+      i64 tw = 0;
+      for (i32 v : Lp) tw += g.nv[v];
+      elem_w[p] = tw;
+    }
     g.elemL[p].assign(Lp.begin(), Lp.end());
     g.adjA[p].clear();
     g.adjA[p].shrink_to_fit();
@@ -129,19 +141,14 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
     n_live -= 1;  // p's supervariable leaves the graph
     live_weight -= nvp0;
 
-    i64 lp_weight = 0;
-    for (i32 v : Lp) lp_weight += g.nv[v];
+    const i64 lp_weight = elem_w[p];
 
     // --- compute |L_e \ Lp| for elements adjacent to Lp (w trick) ---------
     for (i32 v : Lp)
       for (i32 e : g.adjE[v]) {
         if (!g.is_elem[e] || g.dead[e]) continue;
-        if (w[e] < 0 || mark[e] != stamp) {
-          // initialize with total weight of e's live members
-          i64 tw = 0;
-          for (i32 u : g.elemL[e])
-            if (!g.dead[u] && g.nv[u] > 0) tw += g.nv[u];
-          w[e] = tw;
+        if (mark[e] != stamp) {
+          w[e] = elem_w[e];
           mark[e] = stamp;
         }
         w[e] -= g.nv[v];
@@ -169,15 +176,7 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
       for (i32 e : ei) {
         if (!g.is_elem[e] || g.dead[e]) continue;
         ei[wpos++] = e;
-        esum += (mark[e] == stamp && w[e] >= 0) ? w[e]
-                                                : [&] {
-                                                    i64 tw = 0;
-                                                    for (i32 u : g.elemL[e])
-                                                      if (!g.dead[u] &&
-                                                          g.nv[u] > 0)
-                                                        tw += g.nv[u];
-                                                    return tw;
-                                                  }();
+        esum += mark[e] == stamp ? w[e] : elem_w[e];
       }
       ei.resize(wpos);
       ei.push_back(p);
@@ -205,6 +204,7 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
         g.dead[i] = 1;
         g.nv[p] += g.nv[i];
         live_weight -= g.nv[i];
+        elem_w[p] -= g.nv[i];
         g.nv[i] = 0;
         n_live -= 1;
         // chain i's members after p's
