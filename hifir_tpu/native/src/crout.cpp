@@ -779,9 +779,6 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
                  double kappa, double tau_L, double tau_U, double alpha_L,
                  double alpha_U, const i64 *row_ref, const i64 *col_ref,
                  double schur_aL, double schur_aU, int symmetric) {
-  using LD = typename std::conditional<
-      std::is_same<VT, std::complex<double>>::value,
-      std::complex<long double>, long double>::type;
   auto t_begin = std::chrono::steady_clock::now();
   auto *res = new Result<VT>();
   res->n = n;
