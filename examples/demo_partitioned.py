@@ -8,9 +8,13 @@ Net-new over the reference (strictly single-node, SURVEY.md §2.7); covers
 BASELINE.md target config 5's partitioned-factorize leg.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from hifir_tpu.models import poisson2d
 from hifir_tpu.options import Options

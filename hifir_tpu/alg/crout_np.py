@@ -72,7 +72,10 @@ def _drop(ids: np.ndarray, vals: np.ndarray, tau: float, kap: float,
         if cap < 1:
             cap = 1
         if ids.size > cap:
-            sel = np.argpartition(np.abs(vals), ids.size - cap)[ids.size - cap:]
+            # deterministic top-k: primary |v| descending, ties by id
+            # ascending — the native drop_vec uses the same total order, so
+            # kept SETS (and kept order) are bit-identical under exact ties
+            sel = np.lexsort((ids, -np.abs(vals)))[:cap]
             n_space = ids.size - cap
             ids, vals = ids[sel], vals[sel]
     return ids, vals, n_num, n_space
@@ -96,7 +99,8 @@ def _drop_tail(ids: np.ndarray, vals: np.ndarray, tau: float, kap: float,
             cap_total = start_size + 1
         cap = cap_total - start_size
         if ids.size > cap:
-            sel = np.argpartition(np.abs(vals), ids.size - cap)[ids.size - cap:]
+            # deterministic top-k (see _drop)
+            sel = np.lexsort((ids, -np.abs(vals)))[:cap]
             n_space = ids.size - cap
             ids, vals = ids[sel], vals[sel]
     return ids, vals, n_num, n_space
@@ -183,9 +187,14 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
     tag_l = np.full(n, -1, dtype=np.int64)
 
     def _kappa_new(adj_j, adj_v, kap_prev, idv):
-        """Incremental inverse-norm estimate (ref ``Crout.hpp:486-516``)."""
+        """Incremental inverse-norm estimate (ref ``Crout.hpp:486-516``).
+
+        The walk is newest-step-first: the native kernel's adjacency lists
+        prepend (Adj::add), and 3+-term sums round differently per order —
+        matching the traversal order keeps anchor==native bit-identical.
+        """
         sm = 0.0
-        for jj, vv in zip(adj_j[idv], adj_v[idv]):
+        for jj, vv in zip(reversed(adj_j[idv]), reversed(adj_v[idv])):
             sm += kap_prev[jj] * vv
         k1 = 1.0 - sm
         k2 = -1.0 - sm
@@ -230,7 +239,8 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         # mirror of U[:, idk], so the adjacency to traverse is cols_of_U
         row_adj_j = cols_of_U_j[idk] if mirror else rows_of_L_j[idk]
         row_adj_v = cols_of_U_v[idk] if mirror else rows_of_L_v[idk]
-        for j, lkj in zip(row_adj_j, row_adj_v):
+        # newest-first to match the native prepend-list walk (see _kappa_new)
+        for j, lkj in zip(reversed(row_adj_j), reversed(row_adj_v)):
             ld = lkj * dvec[j]
             for c, uv in zip(U_ids[j], U_vals[j]):
                 c = int(c)
@@ -258,7 +268,8 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
             buf_l[r] = v
             tag_l[r] = step
             l_list.append(r)
-        for j, ujk in zip(cols_of_U_j[idk], cols_of_U_v[idk]):
+        for j, ujk in zip(reversed(cols_of_U_j[idk]),
+                          reversed(cols_of_U_v[idk])):
             du = dvec[j] * ujk
             tail_r = Ltail_r[j] if mirror else L_ids[j]
             tail_v = Ltail_v[j] if mirror else L_vals[j]

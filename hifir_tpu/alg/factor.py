@@ -94,7 +94,10 @@ def _drop_offsets(M: CSR, ref_sizes: np.ndarray, alpha: float) -> CSR:
         idx = M.indices[s_:e_]
         val = M.data[s_:e_]
         if cap < nnz:
-            sel = np.argpartition(np.abs(val), nnz - cap)[nnz - cap:]
+            # deterministic top-k: |v| descending, ties by position ascending
+            # (== secondary-axis index ascending) — same total order as the
+            # native finalize drop, so kept sets match bit-exactly
+            sel = np.lexsort((np.arange(nnz), -np.abs(val)))[:cap]
             idx, val = idx[sel], val[sel]
         rows_keep.append(np.full(idx.size, i, dtype=np.int64))
         cols_keep.append(idx.astype(np.int64))

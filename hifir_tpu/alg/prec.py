@@ -34,7 +34,8 @@ from ..ops.trsv import TrsvSchedule, build_trsv_schedule, trsv_apply
 
 __all__ = ["DeviceLevel", "DenseTail", "DevicePrec", "tail_solve",
            "prec_solve_device", "prec_solve_tran_device",
-           "prec_solve_mrhs_device"]
+           "prec_solve_mrhs_device", "prec_solve_tran_mrhs_device",
+           "prec_prod_device", "prec_prod_tran_device"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -95,6 +96,13 @@ def tail_multiply(tail, x, trans=False):
     mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     if tail.kind == "syeig":
         return mm(tail.Q, tail.w * mm(tail.Q.T.conj(), x))
+    if tail.kind == "lup":
+        # P A = L U  =>  A x = P^T L U x,  A^H x = U^H L^H P x
+        L, U, pperm = tail.Q, tail.R, tail.jpvt
+        if not trans:
+            return jnp.zeros_like(x).at[pperm].set(mm(L, mm(U, x)),
+                                                   unique_indices=True)
+        return mm(U.T.conj(), mm(L.T.conj(), x[pperm]))
     if not trans:
         return mm(tail.Q, mm(tail.R, x[tail.jpvt]))
     return jnp.zeros_like(x).at[tail.jpvt].set(
@@ -231,8 +239,13 @@ class DevicePrec:
                   tail_on_device: bool = False) -> "DevicePrec":
         """``tail_on_device`` refactorizes the dense tail with the jitted
         device QRCP (small_scale/qrcp_device.py) instead of reusing the host
-        LAPACK factors — the fully LAPACK-free mode."""
-        dtype = jnp.float64 if dtype is None else dtype
+        LAPACK factors — the fully LAPACK-free mode.
+
+        ``dtype=None`` preserves the host precision, including complex128
+        (the reference treats z/c as first-class, libhifir.h)."""
+        if dtype is None:
+            dtype = next((np.asarray(p.d).dtype for p in precs if p.m),
+                         np.float64)
         levels = []
         for prec in precs:
             m, n = prec.m, prec.n
@@ -290,8 +303,8 @@ class DevicePrec:
         return obj
 
     def pack_transpose(self, host_precs, dtype=None, chunk: int = 256) -> None:
-        """Build transpose operands (U^H/L^H schedules, E^H/F^H ELL)."""
-        dtype = jnp.float64 if dtype is None else dtype
+        """Build transpose operands (U^H/L^H schedules, E^H/F^H ELL);
+        ``dtype=None`` preserves the host precision (incl. complex)."""
         tops = []
         for lvl, hp in zip(self.levels, host_precs):
             UT_host = hp.U_B.transpose()
@@ -323,7 +336,6 @@ class DevicePrec:
 
     def pack_prod(self, host_precs, dtype=None) -> None:
         """Build forward-product operands (L_B/U_B as ELL)."""
-        dtype = jnp.float64 if dtype is None else dtype
         self._prod = [
             ProdLevel(Lell=sliced_ell_from_csr(hp.L_B, dtype=dtype),
                       Uell=sliced_ell_from_csr(hp.U_B, dtype=dtype),
@@ -331,15 +343,51 @@ class DevicePrec:
             for hp in host_precs]
         self._prod_jit = jax.jit(prec_prod_device)
 
-    def mmultiply(self, x):
-        """y = M x on device (jitted)."""
+    def pack_prod_tran(self, host_precs, dtype=None, chunk: int = 256) -> None:
+        """Build adjoint-product operands (L_B^H / U_B^H as ELL); requires
+        (and builds, if absent) the transpose pack for E^H/F^H and the
+        conjugate-transposed LDU schedules."""
+        if self._tran is None:
+            self.pack_transpose(host_precs, dtype=dtype, chunk=chunk)
+        prods_t = []
+        for hp in host_precs:
+            LH = hp.L_B.transpose()
+            UH = hp.U_B.transpose()
+            for M in (LH, UH):
+                if np.iscomplexobj(M.data):
+                    M.data = np.conj(M.data)
+            prods_t.append(ProdTranLevel(
+                LellH=sliced_ell_from_csr(LH, dtype=dtype),
+                UellH=sliced_ell_from_csr(UH, dtype=dtype)))
+        self._prod_tran = prods_t
+        self._prod_tran_jit = jax.jit(prec_prod_tran_device)
+
+    def mmultiply(self, x, trans: bool = False):
+        """y = M x (or M^H x) on device (jitted)."""
+        if trans:
+            if getattr(self, "_prod_tran", None) is None:
+                raise RuntimeError("call pack_prod_tran() before trans "
+                                   "mmultiply")
+            return self._prod_tran_jit(self.levels, self._tran,
+                                       self._prod_tran, self.tail,
+                                       jnp.asarray(x))
         if getattr(self, "_prod", None) is None:
             raise RuntimeError("call pack_prod() before device mmultiply")
         return self._prod_jit(self.levels, self._prod, self.tail,
                               jnp.asarray(x))
 
-    def solve_mrhs(self, B):
-        """X = M^{-1} B for B of shape (n, nrhs) — the batched fast path."""
+    def solve_mrhs(self, B, trans: bool = False):
+        """X = M^{-1} B (or M^{-H} B) for B of shape (n, nrhs) — the batched
+        fast path."""
+        if trans:
+            if self._tran is None:
+                raise RuntimeError("call pack_transpose() before trans "
+                                   "solves")
+            if not hasattr(self, "_solve_tran_mrhs_jit"):
+                self._solve_tran_mrhs_jit = jax.jit(
+                    prec_solve_tran_mrhs_device)
+            return self._solve_tran_mrhs_jit(self.levels, self._tran,
+                                             self.tail, jnp.asarray(B))
         if not hasattr(self, "_solve_mrhs_jit"):
             self._solve_mrhs_jit = jax.jit(prec_solve_mrhs_device)
         return self._solve_mrhs_jit(self.levels, self.tail, jnp.asarray(B))
@@ -391,23 +439,76 @@ def prec_solve_mrhs_device(levels, tail, B):
     return x_tail
 
 
-def _tail_solve_mrhs(tail, Y):
+def _tail_solve_mrhs(tail, Y, trans: bool = False):
     r = tail.rank
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     if tail.kind == "syeig":
         Vr = tail.Q[:, :r]
-        return jnp.matmul(Vr, jnp.matmul(Vr.T.conj(), Y,
-                                         precision=jax.lax.Precision.HIGHEST)
-                          / tail.w[:r, None],
-                          precision=jax.lax.Precision.HIGHEST)
+        return mm(Vr, mm(Vr.T.conj(), Y) / tail.w[:r, None])
     if tail.kind == "lup":
         L, U, pperm = tail.Q, tail.R, tail.jpvt
-        Z = jax.scipy.linalg.solve_triangular(L, Y[pperm], lower=True,
+        if not trans:
+            Z = jax.scipy.linalg.solve_triangular(L, Y[pperm], lower=True,
+                                                  unit_diagonal=True)
+            return jax.scipy.linalg.solve_triangular(U, Z, lower=False)
+        Z = jax.scipy.linalg.solve_triangular(U, Y, lower=False, trans=2)
+        Z = jax.scipy.linalg.solve_triangular(L, Z, lower=True, trans=2,
                                               unit_diagonal=True)
-        return jax.scipy.linalg.solve_triangular(U, Z, lower=False)
-    wv = jnp.matmul(tail.Q[:, :r].T.conj(), Y,
-                    precision=jax.lax.Precision.HIGHEST)
-    Z = jax.scipy.linalg.solve_triangular(tail.R[:r, :r], wv, lower=False)
-    return jnp.zeros_like(Y).at[tail.jpvt[:r]].set(Z, unique_indices=True)
+        return jnp.zeros_like(Y).at[pperm].set(Z, unique_indices=True)
+    if not trans:
+        wv = mm(tail.Q[:, :r].T.conj(), Y)
+        Z = jax.scipy.linalg.solve_triangular(tail.R[:r, :r], wv, lower=False)
+        return jnp.zeros_like(Y).at[tail.jpvt[:r]].set(Z,
+                                                       unique_indices=True)
+    wv = Y[tail.jpvt[:r]]
+    Z = jax.scipy.linalg.solve_triangular(tail.R[:r, :r], wv, lower=False,
+                                          trans=2)
+    return mm(tail.Q[:, :r], Z)
+
+
+def _ldu_solve_tran_mrhs(lvl, top, Y):
+    from ..ops.trsv import trsv_apply_mrhs
+
+    Y = trsv_apply_mrhs(top.UT, Y)
+    Y = Y / jnp.conj(lvl.d)[:, None]
+    return trsv_apply_mrhs(top.LT, Y)
+
+
+def prec_solve_tran_mrhs_device(levels, tops, tail, B):
+    """Adjoint multilevel solve with multiple RHS (the mrhs counterpart of
+    :func:`prec_solve_tran_device`; the reference composes
+    ``prec_solve_mrhs`` with transposition in the bindings,
+    prec_solve.hpp:428,542)."""
+    from ..ops.spmv import ell_matvec_mrhs
+
+    wbs = []
+    rhs = B
+    for lvl, top in zip(levels, tops):
+        wb = jnp.conj(lvl.t[top.q])[:, None] * rhs[top.q]
+        m = lvl.m
+        x1 = _ldu_solve_tran_mrhs(lvl, top, wb[:m])
+        y2 = wb[m:] - ell_matvec_mrhs(top.FT, x1)
+        wbs.append(wb)
+        rhs = y2
+    if tail is None:
+        x_tail = rhs
+    elif tail.rank == 0:
+        x_tail = jnp.zeros_like(rhs)
+    else:
+        x_tail = _tail_solve_mrhs(tail, rhs, trans=True)
+    for lvl, top, wb in zip(reversed(levels), reversed(tops), reversed(wbs)):
+        m = lvl.m
+        if lvl.n - m:
+            x1 = _ldu_solve_tran_mrhs(lvl, top,
+                                      wb[:m] - ell_matvec_mrhs(top.ET,
+                                                               x_tail))
+        else:
+            x1 = _ldu_solve_tran_mrhs(lvl, top, wb[:m])
+        sol = jnp.concatenate([x1, x_tail], axis=0)
+        out = jnp.zeros_like(sol)
+        x_tail = out.at[lvl.p].set(jnp.conj(lvl.s_p)[:, None] * sol,
+                                   unique_indices=True)
+    return x_tail
 
 
 @jax.tree_util.register_pytree_node_class
@@ -425,6 +526,59 @@ class ProdLevel:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ProdTranLevel:
+    """Adjoint-product operands of one level: L_B^H / U_B^H as ELL (the
+    E^H/F^H blocks and permutation come from the shared :class:`TranLevel`)."""
+
+    LellH: SlicedELL
+    UellH: SlicedELL
+
+    def tree_flatten(self):
+        return ((self.LellH, self.UellH), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def prec_prod_tran_device(levels, tops, prods_t, tail, x):
+    """Adjoint product y = M^H x on device (ref ``prec_prod_tran``,
+    alg/prec_prod.hpp:54); mirrors
+    :func:`hifir_tpu.alg.prec_solve_np.prec_prod_tran_np`."""
+    ws = []
+    cur = x
+    for lvl in levels:
+        w = cur[lvl.p] / jnp.conj(lvl.s_p)
+        ws.append(w)
+        cur = w[lvl.m:]
+    y_tail = tail_multiply(tail, cur, trans=True) if tail is not None else cur
+    for lvl, top, pt, w in zip(reversed(levels), reversed(tops),
+                               reversed(prods_t), reversed(ws)):
+        m = lvl.m
+        w1, w2 = w[:m], w[m:]
+
+        def bhat_h(z):
+            # (I + U^H) conj(D) (I + L^H) z
+            z = z + ell_matvec(pt.LellH, z)
+            z = jnp.conj(lvl.d) * z
+            return z + ell_matvec(pt.UellH, z)
+
+        if lvl.n - m:
+            EHw2 = ell_matvec(top.ET, w2)
+            u = w1 + _ldu_solve_tran(lvl, top, EHw2)
+            z2 = ell_matvec(top.FT, u) + y_tail
+            z1 = bhat_h(w1) + EHw2
+            z = jnp.concatenate([z1, z2])
+        else:
+            z = bhat_h(w1)
+        out = jnp.zeros_like(z)
+        y_tail = out.at[top.q].set(z / jnp.conj(lvl.t[top.q]),
+                                   unique_indices=True)
+    return y_tail
 
 
 def prec_prod_device(levels, prods, tail, x):

@@ -21,7 +21,7 @@ def _ldu_solve(prec: LevelPrec, y: np.ndarray) -> np.ndarray:
     """y <- U^{-1} D^{-1} L^{-1} y (ref ``prec_solve_ldu``,
     prec_solve.hpp:205)."""
     y = prec.L_B.solve_as_strict_lower(y)
-    y = y / prec.d
+    y = y / (prec.d[:, None] if y.ndim == 2 else prec.d)
     return prec.U_B.solve_as_strict_upper(y)
 
 
@@ -33,21 +33,33 @@ def _ldu_solve_tran(prec: LevelPrec, y: np.ndarray) -> np.ndarray:
     LH = prec.L_B.transpose()
     LH.data = np.conj(LH.data)
     y = UH.solve_as_strict_lower(y)
-    y = y / np.conj(prec.d)
+    dc = np.conj(prec.d)
+    y = y / (dc[:, None] if y.ndim == 2 else dc)
     return LH.solve_as_strict_upper(y)
+
+
+def _bc(v: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Broadcast a length-n scaling vector over a (n,) or (n, k) operand."""
+    return v[:, None] if b.ndim == 2 else v
 
 
 def prec_solve_np(precs: List[LevelPrec], b: np.ndarray, last_dim: int = 0,
                   level: int = 0, trans: bool = False) -> np.ndarray:
-    """Multilevel M-solve; returns x = M^{-1} b (or M^{-H} b)."""
+    """Multilevel M-solve; returns x = M^{-1} b (or M^{-H} b).
+
+    ``b`` may be (n,) or an (n, k) multi-RHS block — the batched path maps
+    to the reference's ``prec_solve_mrhs`` (prec_solve.hpp:428) with runtime
+    k instead of compile-time Nrhs.
+    """
     if trans:
-        return _prec_solve_tran(precs, b, last_dim, level)
+        return _prec_solve_tran(precs, np.asarray(b), last_dim, level)
     prec = precs[level]
     m, n = prec.m, prec.n
     nm = n - m
-    wb = prec.s[prec.p] * np.asarray(b)[prec.p]
+    b = np.asarray(b)
+    wb = _bc(prec.s[prec.p], b) * b[prec.p]
 
-    y_tail = np.empty(0, dtype=wb.dtype)
+    y_tail = wb[:0]
     x1 = wb[:m].copy()
     if nm:
         x1 = _ldu_solve(prec, x1)
@@ -60,7 +72,7 @@ def prec_solve_np(precs: List[LevelPrec], b: np.ndarray, last_dim: int = 0,
         x1 = wb[:m] - prec.F.matvec(y_tail)
     x1 = _ldu_solve(prec, x1)
     sol = np.concatenate([x1, y_tail])
-    return prec.t * sol[prec.q_inv]
+    return _bc(prec.t, b) * sol[prec.q_inv]
 
 
 def _prec_solve_tran(precs: List[LevelPrec], b: np.ndarray, last_dim: int,
@@ -74,9 +86,10 @@ def _prec_solve_tran(precs: List[LevelPrec], b: np.ndarray, last_dim: int,
     m, n = prec.m, prec.n
     nm = n - m
     # adjoint of the output stage (y = t * sol[q_inv]): w[pos] = conj(t[q[pos]])*b[q[pos]]
-    wb = np.conj(prec.t[prec.q]) * np.asarray(b)[prec.q]
+    b = np.asarray(b)
+    wb = _bc(np.conj(prec.t[prec.q]), b) * b[prec.q]
 
-    y_tail = np.empty(0, dtype=wb.dtype)
+    y_tail = wb[:0]
     x1 = wb[:m].copy()
     if nm:
         # mirror of the forward recursion with E and F swapped (adjoint):
@@ -92,8 +105,8 @@ def _prec_solve_tran(precs: List[LevelPrec], b: np.ndarray, last_dim: int,
     x1 = _ldu_solve_tran(prec, x1)
     sol = np.concatenate([x1, y_tail])
     # adjoint of the input stage (wb = s[p]*b[p]): out[p[i]] = conj(s[p[i]])*sol[i]
-    out = np.zeros(n, dtype=sol.dtype)
-    out[prec.p] = np.conj(prec.s[prec.p]) * sol
+    out = np.zeros(sol.shape, dtype=sol.dtype)
+    out[prec.p] = _bc(np.conj(prec.s[prec.p]), sol) * sol
     return out
 
 

@@ -172,12 +172,20 @@ class HIF:
             x = self.nsp_tran.filter(x)
         return x
 
-    def solve_mrhs(self, B: np.ndarray, r: int = 0) -> np.ndarray:
-        """X = M^{-1} B column-wise (ref builder.hpp:436-448)."""
+    def solve_mrhs(self, B: np.ndarray, r: int = 0, trans: bool = False
+                   ) -> np.ndarray:
+        """X = M^{-1} B, all columns in one batched multilevel sweep
+        (ref ``prec_solve_mrhs``, prec_solve.hpp:428 — the reference fixes
+        Nrhs at compile time; here the native mrhs trsv kernels take a
+        runtime column count)."""
+        if self.empty():
+            hif_error("the preconditioner is empty")
         if self.nsp is not None:
             hif_error("multiple RHS does not support null-space filters")
-        return np.stack([self.solve(B[:, k], r=r) for k in range(B.shape[1])],
-                        axis=1)
+        B = np.asarray(B)
+        if B.ndim != 2:
+            hif_error("solve_mrhs expects an (n, k) right-hand-side block")
+        return prec_solve_np(self.precs, B, r, trans=trans)
 
     def hifir(self, A, b: np.ndarray, N: int,
               betas: Optional[Tuple[float, float]] = None,
@@ -202,9 +210,15 @@ class HIF:
     # -- device export ------------------------------------------------------
     def to_device(self, dtype=None):
         """Pack the multilevel preconditioner into a jitted device pytree
-        (see :mod:`hifir_tpu.alg.prec`)."""
+        (see :mod:`hifir_tpu.alg.prec`).  Packs are cached per requested
+        dtype, so ``to_device(); to_device(dtype=f32)`` returns distinct
+        packs rather than silently reusing the first."""
         from .alg.prec import DevicePrec
 
+        key = np.dtype(dtype).name if dtype is not None else None
         if self._device_prec is None:
-            self._device_prec = DevicePrec.from_host(self.precs, dtype=dtype)
-        return self._device_prec
+            self._device_prec = {}
+        if key not in self._device_prec:
+            self._device_prec[key] = DevicePrec.from_host(self.precs,
+                                                          dtype=dtype)
+        return self._device_prec[key]

@@ -159,18 +159,29 @@ class CSR:
 
     # -- products -----------------------------------------------------------
     def matvec(self, x: np.ndarray) -> np.ndarray:
-        """SpMV y = A x (ref ``multiply_nt``, ``:1137``)."""
-        prod = self.data * np.asarray(x)[self.indices]
-        y = np.zeros(self.nrows, dtype=np.result_type(self.data, x))
+        """SpMV y = A x; ``x`` may be (ncols,) or an (ncols, k) multi-RHS
+        block (ref ``multiply_nt`` ``:1137`` and ``multiply_mrhs_nt``
+        ``:1137-1356``)."""
+        x = np.asarray(x)
+        data = self.data if x.ndim == 1 else self.data[:, None]
+        prod = data * x[self.indices]
+        shape = (self.nrows,) if x.ndim == 1 else (self.nrows, x.shape[1])
+        y = np.zeros(shape, dtype=np.result_type(self.data, x))
         if prod.size:
             nz = np.flatnonzero(np.diff(self.indptr))
-            sums = np.add.reduceat(prod, self.indptr[nz])
+            sums = np.add.reduceat(prod, self.indptr[nz], axis=0)
             y[nz] = sums
         return y
 
     def matvec_tran(self, x: np.ndarray, conj: bool = False) -> np.ndarray:
+        x = np.asarray(x)
         data = np.conj(self.data) if conj else self.data
-        y = np.zeros(self.ncols, dtype=np.result_type(self.data, x))
+        if x.ndim == 2:
+            data = data[:, None]
+            y = np.zeros((self.ncols, x.shape[1]),
+                         dtype=np.result_type(self.data, x))
+        else:
+            y = np.zeros(self.ncols, dtype=np.result_type(self.data, x))
         rows = np.repeat(np.arange(self.nrows), self.row_nnz())
         np.add.at(y, self.indices, data * x[rows])
         return y

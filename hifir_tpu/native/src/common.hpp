@@ -19,6 +19,7 @@ using i64 = std::int64_t;
 using i32 = std::int32_t;
 
 #define HT_API extern "C" __attribute__((visibility("default")))
+#define HT_RESTRICT __restrict__
 
 namespace ht {
 

@@ -101,11 +101,16 @@ inline i64 drop_vec(const std::vector<i32> &ids, const std::vector<VT> &vals,
     cap -= start_size;
     if (cap < 1) cap = 1;
     if (sz > cap) {
+      // deterministic total order (|v| desc, id asc) — matches the anchor's
+      // lexsort so kept sets are identical even under exact-magnitude ties;
+      // the kept prefix is then sorted the same way so stored row order is
+      // bit-reproducible too
+      auto cmp = [](const DropEnt<VT> &x, const DropEnt<VT> &y) {
+        return x.key > y.key || (x.key == y.key && x.id < y.id);
+      };
       std::nth_element(scratch.begin(), scratch.begin() + cap - 1,
-                       scratch.end(),
-                       [](const DropEnt<VT> &x, const DropEnt<VT> &y) {
-                         return x.key > y.key;
-                       });
+                       scratch.end(), cmp);
+      std::sort(scratch.begin(), scratch.begin() + cap, cmp);
       n_space += sz - cap;
       sz = cap;
     }
@@ -326,7 +331,11 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
           for (i64 k = 0; k < b - a; ++k) idx[k] = a + k;
           std::nth_element(idx.begin(), idx.begin() + cap - 1, idx.end(),
                            [&](i64 x, i64 y) {
-                             return std::abs(LEv[x]) > std::abs(LEv[y]);
+                             // deterministic under ties (position = column
+                             // ascending) -- matches the host _drop_offsets
+                             const double ax = std::abs(LEv[x]),
+                                          ay = std::abs(LEv[y]);
+                             return ax > ay || (ax == ay && x < y);
                            });
           std::sort(idx.begin(), idx.begin() + cap, [&](i64 x, i64 y) {
             return LEi[x] < LEi[y];
@@ -372,7 +381,11 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         if (b - a > cap) {
           std::nth_element(entry_of.begin() + a, entry_of.begin() + a + cap - 1,
                            entry_of.begin() + b, [&](i64 x, i64 y) {
-                             return std::abs(UFv[x]) > std::abs(UFv[y]);
+                             // deterministic under ties (position = source
+                             // row ascending) -- matches _drop_offsets
+                             const double ax = std::abs(UFv[x]),
+                                          ay = std::abs(UFv[y]);
+                             return ax > ay || (ax == ay && x < y);
                            });
           for (i64 k = a + cap; k < b; ++k) kill[entry_of[k]] = 1;
         }
@@ -405,13 +418,18 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
     std::vector<std::vector<VT>> tSv(nthr);
 #pragma omp parallel num_threads(nthr) if (nthr > 1)
     {
+      // num_threads is a request, not a guarantee: stride the fixed row
+      // chunks over the *delivered* team so a 1-thread team still covers
+      // every row (output layout is identical for any team size)
       const int tid = nthr > 1 ? omp_get_thread_num() : 0;
-      const i64 lo = tid * nm / nthr, hi = (i64)(tid + 1) * nm / nthr;
+      const int team = nthr > 1 ? omp_get_num_threads() : 1;
       std::vector<LD> acc(nm, LD(0.0L));
       std::vector<i64> stag(nm, -1);
       std::vector<i32> srow;
-      auto &Si = tSi[tid];
-      auto &Sv = tSv[tid];
+      for (int chunk = tid; chunk < nthr; chunk += team) {
+      const i64 lo = (i64)chunk * nm / nthr, hi = (i64)(chunk + 1) * nm / nthr;
+      auto &Si = tSi[chunk];
+      auto &Sv = tSv[chunk];
       Si.reserve((LEp[nm] + Ap[n] / 2) / nthr + 16);
       Sv.reserve(Si.capacity());
       for (i64 i = lo; i < hi; ++i) {
@@ -446,6 +464,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         }
         res->Sp[i + 1] = (i64)srow.size();  // row size; prefixed below
       }
+      }  // chunk stride
     }
     for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] += res->Sp[i];
     res->Si.resize(res->Sp[nm]);
@@ -631,8 +650,9 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             d[c] -= utv[wu[c].pos] * lv[k];
         }
       }
-      const VT dk_inv = VT(1.0) / dk;
-      for (VT &v : lv) v *= dk_inv;
+      // true division, not reciprocal multiply: the anchor divides and a
+      // 1-ulp difference here flips near-threshold drop decisions
+      for (VT &v : lv) v /= dk;
 
       // ---- drop + push L ----
       const i64 kept = drop_vec(l_ids, lv, tau_L, std::abs(kl) * kappa_d,
@@ -652,8 +672,21 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     }
   });
 
+  // `status[idk]=1` for an accepted step is NOT published at the end of
+  // the step: T1 may still be mid-step reading status[idk] in its pool-
+  // compaction check, which is a data race and makes the compaction order
+  // (hence l_ids append order and top-k tie-breaking) nondeterministic.
+  // Publish it at the top of the NEXT iteration, after the c_t1 spin
+  // guarantees T1 finished the step and before the c_t0 release store
+  // makes it visible -- this also matches the serial kernel, where
+  // status[idk] is still 0 during step idk's own l compute.
+  i64 pending_accept = -1;
   for (i64 idk = 0; idk < m2; ++idk) {
     spin_until(c_t1.v, idk - 1);  // previous step fully done (d visible)
+    if (pending_accept >= 0) {
+      status[pending_accept] = 1;
+      pending_accept = -1;
+    }
     const VT dk = d[idk];
     if (dk == VT(0.0) || std::abs(VT(1.0) / dk) > kappa_d) {
       ++res->stats[1];
@@ -720,8 +753,7 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       }
       Uend[j] = end;
     }
-    const VT dk_inv = VT(1.0) / dk;
-    for (VT &v : utv) v *= dk_inv;
+    for (VT &v : utv) v /= dk;  // anchor divides (see T1 note)
     c_utv.v.store(idk, std::memory_order_release);
 
     // ---- drop + push U (T1 does the diag update + L side concurrently) --
@@ -738,10 +770,11 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     Uend.push_back((i64)Uids.size());
     kap_u.push_back(ku);
     dvec.push_back(dk);
-    status[idk] = 1;
+    pending_accept = idk;  // published at the top of the next iteration
     ++step_t0;
   }
   worker.join();
+  if (pending_accept >= 0) status[pending_accept] = 1;
 
   res->stats[3] = nsp0 + nsp1;
   res->stats[4] = nnum0 + nsp0 + nnum1 + nsp1;
@@ -1022,25 +1055,29 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
 
     HT_TOC(c_l);
     // ---- scale ut, update trailing diag, scale l (ref factor.hpp:906-931)
-    const VT dk_inv = VT(1.0) / dk;
+    // All scalings are true divisions (not reciprocal multiplies): the
+    // Python anchor divides, and a 1-ulp difference flips near-threshold
+    // drop decisions, breaking the anchor==native bit-identity contract.
     if (ldlt) {
+      // anchor (general kernel on a symmetric matrix) scales ut first and
+      // updates d from scaled-ut * unscaled-l; mirror that exactly
       for (i64 k = 0; k < (i64)l_ids.size(); ++k) {
         const i32 c = l_ids[k];
-        if (c < m2 && status[c] == 0) d[c] -= lv[k] * lv[k] * dk_inv;
+        if (c < m2 && status[c] == 0) d[c] -= (lv[k] / dk) * lv[k];
       }
-      for (VT &v : lv) v *= dk_inv;
+      for (VT &v : lv) v /= dk;
       // mirror for the dropping below: ut = l
     } else if (mir) {
       // d[c] -= dk * ut_scaled[c]^2 (ref update_diag<true>,
       // Crout.hpp:613-630; no conjugation — symmetric, not Hermitian)
-      for (VT &v : utv) v *= dk_inv;
+      for (VT &v : utv) v /= dk;
       for (i64 k = 0; k < (i64)ut_ids.size(); ++k) {
         const i32 c = ut_ids[k];
         if (c < m2 && status[c] == 0) d[c] -= dk * utv[k] * utv[k];
       }
-      for (VT &v : lv) v *= dk_inv;
+      for (VT &v : lv) v /= dk;
     } else {
-      for (VT &v : utv) v *= dk_inv;
+      for (VT &v : utv) v /= dk;
       if (ut_ids.size() <= l_ids.size()) {
         for (i64 k = 0; k < (i64)ut_ids.size(); ++k) {
           const i32 c = ut_ids[k];
@@ -1054,7 +1091,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             d[c] -= utv[wu[c].pos] * lv[k];
         }
       }
-      for (VT &v : lv) v *= dk_inv;
+      for (VT &v : lv) v /= dk;
     }
 
     // ---- dropping ----
@@ -1386,13 +1423,12 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
 
     // ---- accept ----------------------------------------------------------
     compute_l(ci);
-    const VT dk_inv = VT(1.0) / dk;
-    // scale, excluding the diagonal entries
+    // scale (true division — anchor bit-identity), excluding the diagonal
     {
       i64 w = 0;
       for (i64 k = 0; k < (i64)ut_ids.size(); ++k)
         if (ut_ids[k] != (i32)ci) {
-          utv[w] = utv[k] * dk_inv;
+          utv[w] = utv[k] / dk;
           ut_ids[w++] = ut_ids[k];
         }
       ut_ids.resize(w);
@@ -1400,7 +1436,7 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       w = 0;
       for (i64 k = 0; k < (i64)l_ids.size(); ++k)
         if (l_ids[k] != (i32)ri) {
-          lv[w] = lv[k] * dk_inv;
+          lv[w] = lv[k] / dk;
           l_ids[w++] = l_ids[k];
         }
       l_ids.resize(w);

@@ -119,6 +119,7 @@ class PartitionedHIF:
 
         if nparts == 1:
             self.perm = np.arange(n, dtype=np.int64)
+            self.overlap = 0
             M = HIF().factorize(A, opts)
             self.parts = [_Part(0, n, 0, n, M)]
             return self
@@ -182,12 +183,26 @@ class PartitionedHIF:
 
     def solve(self, b: np.ndarray, trans: bool = False) -> np.ndarray:
         """RAS apply (+ additive coarse correction): local solves on the
-        overlapped blocks, interior writeback."""
+        overlapped blocks, interior writeback.
+
+        ``trans=True`` is the *true adjoint* of the forward apply,
+        ``Mᵀ⁻¹ = Σ_k R_k^δᵀ M_k⁻ᵀ R_k^0 (+ coarseᵀ)``: restriction and
+        prolongation swap roles — restrict to the OWNED rows, transposed
+        local solve on the extended block, prolongate the full extended
+        result additively — so BiCG/QMR-type solvers relying on M(trans)
+        being the adjoint of M(forward) get exact adjoint semantics.
+        """
         bp = b[self.perm]
         xp = np.zeros_like(bp)
-        for p in self.parts:
-            xe = p.M.solve(bp[p.lo_ext:p.hi_ext], trans=trans)
-            xp[p.lo:p.hi] = xe[p.lo - p.lo_ext:p.hi - p.lo_ext]
+        if trans:
+            for p in self.parts:
+                be = np.zeros(p.hi_ext - p.lo_ext, dtype=bp.dtype)
+                be[p.lo - p.lo_ext:p.hi - p.lo_ext] = bp[p.lo:p.hi]
+                xp[p.lo_ext:p.hi_ext] += p.M.solve(be, trans=True)
+        else:
+            for p in self.parts:
+                xe = p.M.solve(bp[p.lo_ext:p.hi_ext], trans=False)
+                xp[p.lo:p.hi] = xe[p.lo - p.lo_ext:p.hi - p.lo_ext]
         if self._coarse_lu is not None:
             xp += self._coarse_apply(bp, trans)
         x = np.empty_like(xp)

@@ -81,6 +81,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib._has_trsv = (
         _bind(lib, "ht_trsv_lower", None, [c, _I64, _I32, _F64, _F64]) and
         _bind(lib, "ht_trsv_upper", None, [c, _I64, _I32, _F64, _F64]))
+    lib._has_trsv_mrhs = (
+        _bind(lib, "ht_trsv_lower_mrhs", None, [c, _I64, _I32, _F64, _F64, c])
+        and
+        _bind(lib, "ht_trsv_upper_mrhs", None, [c, _I64, _I32, _F64, _F64, c]))
     if not ok:
         return None
     _LIB = lib
@@ -291,12 +295,21 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
 
 
 def trsv(M, b: np.ndarray, lower: bool) -> Optional[np.ndarray]:
-    """Native sequential strict-triangular solve; None if unavailable."""
+    """Native sequential strict-triangular solve; None if unavailable.
+    ``b`` may be (n,) or a row-major (n, k) multi-RHS block (the latter maps
+    to the dedicated mrhs kernels, ref CompressedStorage.hpp:1382-1518)."""
     lib = _load()
     if (lib is None or not getattr(lib, "_has_trsv", False)
             or M.data.dtype != np.float64 or b.dtype != np.float64):
         return None
-    x = np.array(b, dtype=np.float64, copy=True)
+    x = np.ascontiguousarray(b, dtype=np.float64).copy()
+    if b.ndim == 2:
+        if not getattr(lib, "_has_trsv_mrhs", False):
+            return None
+        fn = lib.ht_trsv_lower_mrhs if lower else lib.ht_trsv_upper_mrhs
+        fn(M.nrows, M.indptr, M.indices,
+           np.ascontiguousarray(M.data, dtype=np.float64), x, x.shape[1])
+        return x
     fn = lib.ht_trsv_lower if lower else lib.ht_trsv_upper
     fn(M.nrows, M.indptr, M.indices,
        np.ascontiguousarray(M.data, dtype=np.float64), x)

@@ -106,7 +106,8 @@ class QRCP:
     def solve(self, y: np.ndarray, rank: int = 0, trans: bool = False
               ) -> np.ndarray:
         r = self._r(rank)
-        x = np.zeros(self.n, dtype=np.result_type(self.Q, y))
+        shape = (self.n,) if y.ndim == 1 else (self.n, y.shape[1])
+        x = np.zeros(shape, dtype=np.result_type(self.Q, y))
         if r == 0:
             return x
         if not trans:
@@ -158,7 +159,8 @@ class SYEIG:
             return np.zeros_like(y)
         order = np.argsort(-np.abs(self.w))[:r]
         Vr = self.V[:, order]
-        return Vr @ ((Vr.conj().T @ y) / self.w[order])
+        wr = self.w[order] if y.ndim == 1 else self.w[order][:, None]
+        return Vr @ ((Vr.conj().T @ y) / wr)
 
     def multiply(self, x: np.ndarray, trans: bool = False) -> np.ndarray:
         return self.V @ (self.w * (self.V.conj().T @ x))

@@ -207,3 +207,88 @@ def test_batched_gmres_mrhs():
             assert np.abs(X[:, k]).max() == 0.0
         else:
             assert np.linalg.norm(B[:, k] - A.matvec(X[:, k])) / nb <= 1e-8
+
+
+def test_device_prec_mmultiply_tran_matches_host():
+    """Device adjoint product M^H x vs the host anchor (prec_prod_tran_np,
+    ref alg/prec_prod.hpp:54) — completes 4-op-mode parity on device."""
+    A = convdiff2d(9)
+    M = _factorized(A)
+    dp = M.to_device()
+    dp.pack_prod(M.precs)
+    dp.pack_prod_tran(M.precs)
+    x = np.random.default_rng(3).standard_normal(A.nrows)
+    yh = M.mmultiply(x, trans=True)
+    yd = np.asarray(dp.mmultiply(x, trans=True))
+    np.testing.assert_allclose(yd, yh, rtol=1e-10,
+                               atol=1e-10 * np.abs(yh).max())
+    # forward still consistent
+    np.testing.assert_allclose(np.asarray(dp.mmultiply(x)), M.mmultiply(x),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_device_prec_solve_tran_mrhs_matches_host():
+    A = convdiff2d(9)
+    M = _factorized(A)
+    dp = M.to_device()
+    dp.pack_transpose(M.precs)
+    B = np.random.default_rng(4).standard_normal((A.nrows, 4))
+    Xd = np.asarray(dp.solve_mrhs(jnp.asarray(B), trans=True))
+    for k in range(4):
+        xh = M.solve(B[:, k], trans=True)
+        np.testing.assert_allclose(Xd[:, k], xh, rtol=1e-10,
+                                   atol=1e-10 * np.abs(xh).max())
+
+
+def test_device_complex_prec_matches_host():
+    """Complex128 device path (solve, tran solve, mrhs, products) vs host on
+    the vendored SuiteSparse young1c system (the reference treats z/c as
+    first-class precisions, libhifir.h)."""
+    import os
+
+    path = "/root/reference/examples/demo_inputs/young1c.mtx"
+    if not os.path.exists(path):
+        pytest.skip("reference inputs absent")
+    from hifir_tpu.utils import io as hio
+
+    A = hio.read_mm(path)
+    M = HIF().factorize(A, Options(verbose=0, dense_thres=50))
+    dp = M.to_device()   # dtype=None preserves complex128
+    dp.pack_transpose(M.precs)
+    dp.pack_prod(M.precs)
+    dp.pack_prod_tran(M.precs)
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(A.nrows) + 1j * rng.standard_normal(A.nrows)
+    xh = M.solve(b)
+    xd = np.asarray(dp.solve(b))
+    assert np.iscomplexobj(xd)
+    np.testing.assert_allclose(xd, xh, rtol=1e-9, atol=1e-9 * np.abs(xh).max())
+    xth = M.solve(b, trans=True)
+    xtd = np.asarray(dp.solve(b, trans=True))
+    np.testing.assert_allclose(xtd, xth, rtol=1e-9,
+                               atol=1e-9 * np.abs(xth).max())
+    B = np.stack([b, 1j * b], axis=1)
+    Xd = np.asarray(dp.solve_mrhs(jnp.asarray(B)))
+    np.testing.assert_allclose(Xd[:, 0], xh, rtol=1e-9,
+                               atol=1e-9 * np.abs(xh).max())
+    yh = M.mmultiply(b)
+    yd = np.asarray(dp.mmultiply(b))
+    np.testing.assert_allclose(yd, yh, rtol=1e-9, atol=1e-9 * np.abs(yh).max())
+    yth = M.mmultiply(b, trans=True)
+    ytd = np.asarray(dp.mmultiply(b, trans=True))
+    np.testing.assert_allclose(ytd, yth, rtol=1e-9,
+                               atol=1e-9 * np.abs(yth).max())
+
+
+def test_to_device_dtype_cache():
+    """to_device() caches per dtype: a later f32 request must not silently
+    return the earlier f64 pack."""
+    A = convdiff2d(8)
+    M = _factorized(A)
+    d64 = M.to_device()
+    d32 = M.to_device(dtype=jnp.float32)
+    assert d64 is M.to_device()
+    assert d32 is M.to_device(dtype=jnp.float32)
+    assert d64 is not d32
+    assert d64.levels[0].d.dtype == jnp.float64
+    assert d32.levels[0].d.dtype == jnp.float32

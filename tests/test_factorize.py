@@ -330,3 +330,114 @@ def test_symmetric_block_mirror_mode():
     np.testing.assert_allclose(M.solve(b),
                                np.linalg.solve(As.toarray(), b),
                                rtol=1e-8, atol=1e-8)
+
+
+def _assert_precs_bit_identical(M1, M2):
+    assert len(M1.precs) == len(M2.precs)
+    for p1, p2 in zip(M1.precs, M2.precs):
+        assert p1.m == p2.m and p1.n == p2.n
+        for name in ("L_B", "U_B", "E", "F"):
+            a, b = getattr(p1, name), getattr(p2, name)
+            assert np.array_equal(a.indptr, b.indptr), name
+            assert np.array_equal(a.indices, b.indices), name
+            assert np.array_equal(a.data, b.data), name
+        for name in ("d", "s", "t", "p", "q"):
+            assert np.array_equal(getattr(p1, name), getattr(p2, name)), name
+        if p1.dense_matrix is None:
+            assert p2.dense_matrix is None
+        else:
+            assert np.array_equal(p1.dense_matrix, p2.dense_matrix)
+
+
+def test_mt_serial_bit_identity(capfd):
+    """The dual-thread Crout kernel (crout.cpp:crout_core_mt, engaged for
+    n >= 16384, nnz >= 12n) must produce BIT-IDENTICAL factors to the serial
+    kernel (HT_NO_MT=1).  The squared 128^2 Poisson operator (n=16,384,
+    nnz/row ~12.8) crosses the engagement gate."""
+    from hifir_tpu.pre import _native
+
+    if not _native.has_crout():
+        pytest.skip("native library not built")
+    S = poisson2d(128).to_scipy()
+    S2 = (S @ S).tocsr()
+    S2.sort_indices()
+    n = S2.shape[0]
+    assert n >= 16384 and S2.nnz >= 12 * n  # gate precondition
+    A = CSR(n, n, S2.indptr.astype(np.int64), S2.indices.astype(np.int32),
+            S2.data)
+    opts = Options(verbose=0, tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3,
+                   kappa=5, kappa_d=5)
+
+    env = dict(os.environ)
+    try:
+        os.environ["HT_PROFILE"] = "1"
+        os.environ.pop("HT_NO_MT", None)
+        M_mt = HIF().factorize(A, opts)
+        err_mt = capfd.readouterr().err
+        assert "[ht_crout mt]" in err_mt  # the MT path actually engaged
+        os.environ["HT_NO_MT"] = "1"
+        M_ser = HIF().factorize(A, opts)
+        err_ser = capfd.readouterr().err
+        assert "[ht_crout mt]" not in err_ser
+    finally:
+        os.environ.clear()
+        os.environ.update(env)
+
+    _assert_precs_bit_identical(M_mt, M_ser)
+
+
+@pytest.mark.parametrize("mode", ["general", "ldlt"])
+def test_native_matches_anchor_kernels(mode):
+    """Native == anchor equivalence for the general (mode 0) and LDL^T
+    (mode 1) kernels under real dropping (the pivot and mirror kernels have
+    their own equivalence tests).  The anchor (crout_np.py) is the spec."""
+    from hifir_tpu.pre import _native
+
+    if not _native.has_crout():
+        pytest.skip("native library not built")
+    if mode == "general":
+        A = convdiff2d(24)
+        opts = dict(tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3,
+                    kappa=5, kappa_d=5)
+    else:
+        A = poisson2d(20)
+        opts = dict(tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3,
+                    kappa=5, kappa_d=5, is_symm=1)
+    o_nat = Options(verbose=0, **opts)
+    o_anc = Options(verbose=0, use_native=0, **opts)
+    M1 = HIF().factorize(A, o_nat)
+    M2 = HIF().factorize(A, o_anc)
+    assert len(M1.precs) == len(M2.precs)
+    for p1, p2 in zip(M1.precs, M2.precs):
+        assert p1.m == p2.m and p1.n == p2.n
+        for name in ("p", "q"):
+            assert np.array_equal(getattr(p1, name), getattr(p2, name)), name
+        for name in ("L_B", "U_B", "E", "F"):
+            a, b = getattr(p1, name), getattr(p2, name)
+            assert np.array_equal(a.indptr, b.indptr), name
+            assert np.array_equal(a.indices, b.indices), name
+            np.testing.assert_allclose(a.data, b.data, rtol=1e-10,
+                                       atol=1e-14, err_msg=name)
+        np.testing.assert_allclose(p1.d, p2.d, rtol=1e-10, atol=1e-14)
+    b = np.random.default_rng(7).standard_normal(A.nrows)
+    np.testing.assert_allclose(M1.solve(b), M2.solve(b), rtol=1e-9,
+                               atol=1e-9 * np.abs(M2.solve(b)).max())
+
+
+def test_host_solve_mrhs_batched():
+    """Batched host mrhs solve must match per-column solves exactly and not
+    fall back to a Python column loop (native mrhs trsv path)."""
+    A = poisson2d(24)
+    M = HIF().factorize(A, Options(verbose=0, tau_L=1e-2, tau_U=1e-2,
+                                   alpha_L=3, alpha_U=3))
+    rng = np.random.default_rng(11)
+    B = rng.standard_normal((A.nrows, 7))
+    X = M.solve_mrhs(B)
+    for k in range(B.shape[1]):
+        np.testing.assert_allclose(X[:, k], M.solve(B[:, k]),
+                                   rtol=1e-13, atol=1e-13)
+    # transpose mrhs
+    XT = M.solve_mrhs(B, trans=True)
+    for k in range(B.shape[1]):
+        np.testing.assert_allclose(XT[:, k], M.solve(B[:, k], trans=True),
+                                   rtol=1e-13, atol=1e-13)
