@@ -211,7 +211,8 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     from ..options import PIVOTING_ON
 
     use_pivot = force_pivot or opts.pivot == PIVOTING_ON
-    use_native = (not use_pivot and opts.use_native
+    # dist_schur needs the anchor branch (the native kernel fuses the Schur)
+    use_native = (not use_pivot and opts.use_native and not opts.dist_schur
                   and ((Ahat.data.dtype == np.float64 and _native.has_crout())
                        or (Ahat.data.dtype == np.complex128
                            and _native.has_crout_z())))
@@ -315,7 +316,16 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
                                   a_U)
             U_F = U_F_t.transpose()
             C_tail = Ah2[m:, :][:, m:].tocsr()
-            S = _compute_schur(C_tail, L_E, res.d, U_F)
+            C_csr = CSR(n - m, n - m, C_tail.indptr.astype(np.int64),
+                        C_tail.indices, C_tail.data)
+            if opts.dist_schur:
+                # distributed ring SpGEMM over the device mesh
+                # (SURVEY §2.7 strategy #2; ref Schur.hpp:214,587-700)
+                from ..parallel.schur import schur_spgemm_ring
+
+                S = schur_spgemm_ring(C_csr, L_E, res.d, U_F)
+            else:
+                S = _compute_schur(C_tail, L_E, res.d, U_F)
             E = Ah2[m:, :][:, :m].tocsr()
             F = Ah2[:m, :][:, m:].tocsr()
             E = CSR(n - m, m, E.indptr.astype(np.int64), E.indices, E.data)

@@ -23,6 +23,46 @@ using i32 = std::int32_t;
 
 namespace ht {
 
+// Stable LSD radix sort of records by a non-negative i32 key (9-bit
+// digits).  Comparison sorts on short random-key arrays are branch-
+// mispredict-bound (~20 cycles/comparison); the counting passes here are
+// branchless.  `key(rec)` extracts the key; `tmp` is caller-provided
+// ping-pong scratch.
+template <class Rec, class KeyFn>
+inline void radix_sort_by_key(Rec *a, i64 n, std::vector<Rec> &tmp,
+                              i32 maxkey, KeyFn key) {
+  if (n < 2) return;
+  if ((i64)tmp.size() < n) tmp.resize(n);
+  int bits = 1;
+  while ((1 << bits) <= maxkey) ++bits;
+  // adaptive digit width: the per-pass counter prefix costs 2^width ops,
+  // so short arrays want narrow digits (total = passes * (n + 2^width));
+  // large arrays cap at 8 bits -- more open scatter streams than TLB
+  // entries turns each bucket write into a page walk
+  int width = 4;
+  while (width < 8 && (i64)1 << (width + 1) <= n) ++width;
+  int passes = (bits + width - 1) / width;
+  width = (bits + passes - 1) / passes;  // balance the digit widths
+  const i32 mask = (1 << width) - 1;
+  Rec *src = a;
+  Rec *dst = tmp.data();
+  i64 cnt[2048];
+  for (int shift = 0; shift < bits; shift += width) {
+    std::memset(cnt, 0, sizeof(i64) << width);
+    for (i64 k = 0; k < n; ++k) ++cnt[(key(src[k]) >> shift) & mask];
+    i64 run = 0;
+    for (i32 b = 0; b <= mask; ++b) {
+      const i64 c = cnt[b];
+      cnt[b] = run;
+      run += c;
+    }
+    for (i64 k = 0; k < n; ++k)
+      dst[cnt[(key(src[k]) >> shift) & mask]++] = src[k];
+    std::swap(src, dst);
+  }
+  if (src != a) std::memcpy(a, src, n * sizeof(Rec));
+}
+
 // growable CSR assembly buffer
 struct CsrBuf {
   std::vector<i64> indptr{0};

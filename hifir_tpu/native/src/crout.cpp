@@ -132,9 +132,6 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
                    const std::vector<VT> &Lvals, const std::vector<i64> &Uptr,
                    const std::vector<i32> &Uids, const std::vector<VT> &Uvals,
                    const std::vector<VT> &dvec) {
-  using LD = typename std::conditional<
-      std::is_same<VT, std::complex<double>>::value,
-      std::complex<long double>, long double>::type;
   const bool prof = std::getenv("HT_PROFILE") != nullptr;
   auto tprev = std::chrono::steady_clock::now();
   auto mark = [&](const char *what) {
@@ -154,14 +151,19 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   const i64 nm0 = n - m;
 
   // ---- E / F blocks of Ahat in final ordering (ref extract_E/F,
-  // factor.hpp:185-368), assembled with counting sort, O(nnz) ----
+  // factor.hpp:185-368), assembled with counting sort, O(nnz).  The posC
+  // map is gathered ONCE into a sequential i32 scratch (the gather is the
+  // random-access cost; the count and fill passes then stream it) ----
   {
     res->Ep.assign(nm0 + 1, 0);
     res->Fp.assign(m + 1, 0);
+    std::vector<i32> pcs(Ap[n]);
     for (i64 prow = 0; prow < n; ++prow) {
       const i64 arow = ordR[prow];
+      i64 w = Ap[arow];
       for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
         const i64 pc = posC[Ai[k]];
+        pcs[w++] = (i32)pc;
         if (prow >= m && pc < m) ++res->Ep[prow - m + 1];
         else if (prow < m && pc >= m) ++res->Fp[prow + 1];
       }
@@ -174,31 +176,31 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
     res->Fv.resize(res->Fp[m]);
     std::vector<i64> ne(res->Ep.begin(), res->Ep.end() - 1);
     std::vector<i64> nf(res->Fp.begin(), res->Fp.end() - 1);
-    std::vector<std::pair<i32, VT>> rowbuf;
+    struct PEnt { i32 c; VT v; };
+    std::vector<PEnt> rowbuf, rowtmp;
     for (i64 prow = 0; prow < n; ++prow) {
       const i64 arow = ordR[prow];
       rowbuf.clear();
       const bool tailrow = prow >= m;
       for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
-        const i64 pc = posC[Ai[k]];
+        const i64 pc = pcs[k];
         if (tailrow && pc < m) rowbuf.push_back({(i32)pc, Av[k]});
         else if (!tailrow && pc >= m) rowbuf.push_back({(i32)(pc - m), Av[k]});
       }
-      std::sort(rowbuf.begin(), rowbuf.end(),
-                [](const std::pair<i32, VT> &a, const std::pair<i32, VT> &b) {
-                  return a.first < b.first;
-                });
+      ht::radix_sort_by_key(rowbuf.data(), (i64)rowbuf.size(), rowtmp,
+                            (i32)(tailrow ? m : nm0),
+                            [](const PEnt &e) { return e.c; });
       if (tailrow) {
         i64 &w = ne[prow - m];
         for (auto &e : rowbuf) {
-          res->Ei[w] = e.first;
-          res->Ev[w++] = e.second;
+          res->Ei[w] = e.c;
+          res->Ev[w++] = e.v;
         }
       } else {
         i64 &w = nf[prow];
         for (auto &e : rowbuf) {
-          res->Fi[w] = e.first;
-          res->Fv[w++] = e.second;
+          res->Fi[w] = e.c;
+          res->Fv[w++] = e.v;
         }
       }
     }
@@ -211,12 +213,16 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   // U_B CSR (row per step), U_F as CSC (column j of U -> tail cols)
   res->Up.assign(m + 1, 0);
   std::vector<i64> UFp(m + 1, 0);
+  std::vector<i32> upos(Uptr[m]);  // posC gathered once (see EF note)
   for (i64 j = 0; j < m; ++j) {
-    for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k)
-      if (posC[Uids[k]] < m)
+    for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
+      const i64 pc = posC[Uids[k]];
+      upos[k] = (i32)pc;
+      if (pc < m)
         ++res->Up[j + 1];
       else
         ++UFp[j + 1];
+    }
   }
   for (i64 j = 0; j < m; ++j) {
     res->Up[j + 1] += res->Up[j];
@@ -231,7 +237,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
     std::vector<i64> nf(UFp.begin(), UFp.end() - 1);
     for (i64 j = 0; j < m; ++j)
       for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
-        const i64 pc = posC[Uids[k]];
+        const i64 pc = upos[k];
         if (pc < m) {
           res->Ui[nb[j]] = (i32)pc;
           res->Uv[nb[j]++] = Uvals[k];
@@ -241,11 +247,14 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         }
       }
   }
+  upos.clear();
+  upos.shrink_to_fit();
   // sort U_B rows by column: space dropping caps each row at
   // ceil(alpha*nnz_ref), so small cache-hot per-row sorts beat the two
   // full counting-transpose passes over m-wide scatter arrays
   {
-    std::vector<std::pair<i32, VT>> rb;
+    struct PEnt { i32 c; VT v; };
+    std::vector<PEnt> rb, rbt;
     for (i64 j = 0; j < m; ++j) {
       const i64 a = res->Up[j], b = res->Up[j + 1];
       if (b - a < 2) continue;
@@ -256,15 +265,13 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
           break;
         }
       if (sorted) continue;
-      rb.assign(b - a, {});
+      rb.resize(b - a);
       for (i64 k = a; k < b; ++k) rb[k - a] = {res->Ui[k], res->Uv[k]};
-      std::sort(rb.begin(), rb.end(),
-                [](const std::pair<i32, VT> &x, const std::pair<i32, VT> &y) {
-                  return x.first < y.first;
-                });
+      ht::radix_sort_by_key(rb.data(), b - a, rbt, (i32)m,
+                            [](const PEnt &e) { return e.c; });
       for (i64 k = a; k < b; ++k) {
-        res->Ui[k] = rb[k - a].first;
-        res->Uv[k] = rb[k - a].second;
+        res->Ui[k] = rb[k - a].c;
+        res->Uv[k] = rb[k - a].v;
       }
     }
   }
@@ -274,9 +281,11 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   // first count rows
   res->Lp.assign(m + 1, 0);
   std::vector<i64> LEp(nm + 1, 0);
+  std::vector<i32> lpos(Lptr[m]);  // posR gathered once (see EF note)
   for (i64 j = 0; j < m; ++j)
     for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
       const i64 pr = posR[Lids[k]];
+      lpos[k] = (i32)pr;
       if (pr < m)
         ++res->Lp[pr + 1];
       else
@@ -293,7 +302,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
     std::vector<i64> ne(LEp.begin(), LEp.end() - 1);
     for (i64 j = 0; j < m; ++j)  // columns in increasing step order => sorted
       for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
-        const i64 pr = posR[Lids[k]];
+        const i64 pr = lpos[k];
         if (pr < m) {
           res->Li[nb[pr]] = (i32)j;
           res->Lv[nb[pr]++] = Lvals[k];
@@ -303,6 +312,8 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         }
       }
   }
+  lpos.clear();
+  lpos.shrink_to_fit();
 
   res->d = dvec;
   mark("L_split");
@@ -321,28 +332,31 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       std::vector<VT> nv;
       ni.reserve(LEi.size());
       nv.reserve(LEv.size());
-      std::vector<i64> idx;
+      // top-k on a contiguous scratch: an indirect nth_element comparator
+      // re-gathers values at ~125 cycles/candidate; gathering {|v|, col, v}
+      // once keeps the selection loop in cache
+      struct Ent { double key; i32 col; VT val; };
+      std::vector<Ent> sc;
       for (i64 i = 0; i < nm; ++i) {
         const i64 a = LEp[i], b = LEp[i + 1];
         i64 cap = (i64)std::ceil(schur_aL * (double)row_ref[ordR[m + i]]);
         if (cap < 1) cap = 1;
         if (b - a > cap) {
-          idx.resize(b - a);
-          for (i64 k = 0; k < b - a; ++k) idx[k] = a + k;
-          std::nth_element(idx.begin(), idx.begin() + cap - 1, idx.end(),
-                           [&](i64 x, i64 y) {
-                             // deterministic under ties (position = column
-                             // ascending) -- matches the host _drop_offsets
-                             const double ax = std::abs(LEv[x]),
-                                          ay = std::abs(LEv[y]);
-                             return ax > ay || (ax == ay && x < y);
-                           });
-          std::sort(idx.begin(), idx.begin() + cap, [&](i64 x, i64 y) {
-            return LEi[x] < LEi[y];
-          });
+          sc.resize(b - a);
+          for (i64 k = a; k < b; ++k)
+            sc[k - a] = Ent{std::abs(LEv[k]), LEi[k], LEv[k]};
+          // deterministic under ties (column ascending == position
+          // ascending; rows are built column-sorted) -- matches the host
+          // _drop_offsets total order
+          auto cmp = [](const Ent &x, const Ent &y) {
+            return x.key > y.key || (x.key == y.key && x.col < y.col);
+          };
+          std::nth_element(sc.begin(), sc.begin() + cap - 1, sc.end(), cmp);
+          std::sort(sc.begin(), sc.begin() + cap,
+                    [](const Ent &x, const Ent &y) { return x.col < y.col; });
           for (i64 kk = 0; kk < cap; ++kk) {
-            ni.push_back(LEi[idx[kk]]);
-            nv.push_back(LEv[idx[kk]]);
+            ni.push_back(sc[kk].col);
+            nv.push_back(sc[kk].val);
           }
         } else {
           for (i64 k = a; k < b; ++k) {
@@ -374,20 +388,26 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
             entry_of[nx[UFi[k]]++] = k;
       }
       std::vector<char> kill(UFi.size(), 0);
+      // contiguous {|v|, pos} scratch for the selection (see the L_E note)
+      struct Ent { double key; i64 pos; };
+      std::vector<Ent> sc;
       for (i64 c = 0; c < nm; ++c) {
         const i64 a = cptr[c], b = cptr[c + 1];
         i64 cap = (i64)std::ceil(schur_aU * (double)col_ref[ordC[m + c]]);
         if (cap < 1) cap = 1;
         if (b - a > cap) {
-          std::nth_element(entry_of.begin() + a, entry_of.begin() + a + cap - 1,
-                           entry_of.begin() + b, [&](i64 x, i64 y) {
-                             // deterministic under ties (position = source
-                             // row ascending) -- matches _drop_offsets
-                             const double ax = std::abs(UFv[x]),
-                                          ay = std::abs(UFv[y]);
-                             return ax > ay || (ax == ay && x < y);
-                           });
-          for (i64 k = a + cap; k < b; ++k) kill[entry_of[k]] = 1;
+          sc.resize(b - a);
+          for (i64 k = a; k < b; ++k) {
+            const i64 e = entry_of[k];
+            sc[k - a] = Ent{std::abs(UFv[e]), e};
+          }
+          // deterministic under ties (position = source row ascending) --
+          // matches _drop_offsets
+          auto cmp = [](const Ent &x, const Ent &y) {
+            return x.key > y.key || (x.key == y.key && x.pos < y.pos);
+          };
+          std::nth_element(sc.begin(), sc.begin() + cap - 1, sc.end(), cmp);
+          for (i64 k = cap; k < b - a; ++k) kill[sc[k].pos] = 1;
         }
       }
       // compress
@@ -423,9 +443,33 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       // every row (output layout is identical for any team size)
       const int tid = nthr > 1 ? omp_get_thread_num() : 0;
       const int team = nthr > 1 ? omp_get_num_threads() : 1;
-      std::vector<LD> acc(nm, LD(0.0L));
-      std::vector<i64> stag(nm, -1);
+      // Working-precision accumulator + i32 tags: the dense scatter pair is
+      // the cache-capacity bottleneck of the Schur (every product term is a
+      // random RMW into acc+stag); f64+i32 halves the footprint vs the
+      // reference's long-double boost (Schur.hpp:223 boost_type) and matches
+      // the f64 Python anchor (_compute_schur).  Accuracy is governed by the
+      // dropping thresholds (tau ~ 1e-4 rel), not the e-19 accumulator tail;
+      // GMRES iteration parity (Stokes 2, 1M Poisson 39) is re-verified.
+      std::vector<VT> acc(nm, VT(0.0));
+      std::vector<i32> stag(nm, -1);
       std::vector<i32> srow;
+      i64 nterms = 0;
+      unsigned long long cyc_a = 0, cyc_t = 0, cyc_s = 0, cyc_p = 0, tq = 0;
+      const bool prof2s = std::getenv("HT_PROFILE2") != nullptr;
+#define HTS_TIC() if (prof2s) tq = __rdtsc()
+#define HTS_TOC(acc) if (prof2s) acc += __rdtsc() - tq
+      // raw restrict pointers: vector indexing through aliasing-unknown
+      // pointers stalls the RMW chain in the term loop
+      struct SEnt { i32 c; VT v; };
+      std::vector<SEnt> rowbuf, rowtmp;
+      VT *HT_RESTRICT pacc = acc.data();
+      i32 *HT_RESTRICT ptag = stag.data();
+      const i32 *HT_RESTRICT ufi = UFi.data();
+      const VT *HT_RESTRICT ufv = UFv.data();
+      const i64 *HT_RESTRICT ufp = UFp.data();
+      const i32 *HT_RESTRICT lei = LEi.data();
+      const VT *HT_RESTRICT lev = LEv.data();
+      const VT *HT_RESTRICT pdv = dvec.data();
       for (int chunk = tid; chunk < nthr; chunk += team) {
       const i64 lo = (i64)chunk * nm / nthr, hi = (i64)(chunk + 1) * nm / nthr;
       auto &Si = tSi[chunk];
@@ -435,36 +479,66 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       for (i64 i = lo; i < hi; ++i) {
         srow.clear();
         const i64 arow = ordR[m + i];
+        const i32 itag = (i32)i;
+        HTS_TIC();
         for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
           const i64 pc = posC[Ai[k]];
           if (pc >= m) {
             const i64 c = pc - m;
-            acc[c] = LD(Av[k]);
-            stag[c] = i;
+            acc[c] = Av[k];
+            stag[c] = itag;
             srow.push_back((i32)c);
           }
         }
+        HTS_TOC(cyc_a);
+        HTS_TIC();
         for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
-          const i32 j = LEi[k];
-          const LD ldv = LD(LEv[k]) * LD(dvec[j]);
-          for (i64 kk = UFp[j]; kk < UFp[j + 1]; ++kk) {
-            const i32 c = UFi[kk];
-            if (stag[c] != i) {
-              acc[c] = -ldv * LD(UFv[kk]);
-              stag[c] = i;
+          const i32 j = lei[k];
+          const VT ldv = lev[k] * pdv[j];
+          const i64 e0 = ufp[j], e1 = ufp[j + 1];
+          nterms += e1 - e0;
+          for (i64 kk = e0; kk < e1; ++kk) {
+            const i32 c = ufi[kk];
+            if (ptag[c] != itag) {
+              pacc[c] = -ldv * ufv[kk];
+              ptag[c] = itag;
               srow.push_back(c);
             } else
-              acc[c] -= ldv * LD(UFv[kk]);
+              pacc[c] -= ldv * ufv[kk];
           }
         }
-        std::sort(srow.begin(), srow.end());
-        for (i32 c : srow) {
-          Si.push_back(c);
-          Sv.push_back(VT(acc[c]));
+        HTS_TOC(cyc_t);
+        HTS_TIC();
+        // gather {col, val} pairs while acc is still cache-hot, then sort
+        // the compact pair buffer and bulk-append (a sort-then-regather
+        // ordering costs ~125 cycles per output element here)
+        rowbuf.resize(srow.size());
+        for (size_t tpos = 0; tpos < srow.size(); ++tpos)
+          rowbuf[tpos] = SEnt{srow[tpos], pacc[srow[tpos]]};
+        HTS_TOC(cyc_s);
+        HTS_TIC();
+        ht::radix_sort_by_key(rowbuf.data(), (i64)rowbuf.size(), rowtmp,
+                              (i32)nm, [](const SEnt &e) { return e.c; });
+        const size_t base = Si.size();
+        Si.resize(base + rowbuf.size());
+        Sv.resize(base + rowbuf.size());
+        for (size_t tpos = 0; tpos < rowbuf.size(); ++tpos) {
+          Si[base + tpos] = rowbuf[tpos].c;
+          Sv[base + tpos] = rowbuf[tpos].v;
         }
+        HTS_TOC(cyc_p);
         res->Sp[i + 1] = (i64)srow.size();  // row size; prefixed below
       }
       }  // chunk stride
+      if (prof && nterms)
+#pragma omp critical
+        std::fprintf(stderr,
+                     "[ht_finalize] schur_terms(t%d)=%lldM team=%d "
+                     "a=%.2fGc t=%.2fGc s=%.2fGc p=%.2fGc\n",
+                     tid, (long long)(nterms / 1000000), team, cyc_a * 1e-9,
+                     cyc_t * 1e-9, cyc_s * 1e-9, cyc_p * 1e-9);
+#undef HTS_TIC
+#undef HTS_TOC
     }
     for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] += res->Sp[i];
     res->Si.resize(res->Sp[nm]);
@@ -829,9 +903,15 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   const bool mir = symmetric == 2;
 
   // fat levels run the dual-thread variant (identical results); requires
-  // positive space-dropping caps for the no-realloc pool guarantee
+  // positive space-dropping caps for the no-realloc pool guarantee.
+  // On <= 2 hardware threads the spin-synchronized pair measurably LOSES to
+  // the serial kernel (interleaved 1M-Poisson A/B: L2 loop 5.2s MT vs 3.5s
+  // serial) -- the finalize OpenMP regions already saturate both cores --
+  // so the pair engages only with >2 cores, or when HT_MT=1 forces it.
+  const bool mt_forced = std::getenv("HT_MT") != nullptr;
   if (!ldlt && !mir && alpha_L > 0.0 && alpha_U > 0.0 && m2 > 0 &&
-      n >= 16384 && Ap[n] >= 12 * n && std::getenv("HT_NO_MT") == nullptr) {
+      n >= 16384 && Ap[n] >= 12 * n && std::getenv("HT_NO_MT") == nullptr &&
+      (mt_forced || std::thread::hardware_concurrency() > 2)) {
     delete res;
     return crout_core_mt<VT>(n, m2, Ap, Ai, Av, d0, kappa_d, kappa, tau_L,
                              tau_U, alpha_L, alpha_U, row_ref, col_ref,
@@ -843,6 +923,12 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   std::vector<i32> Ci;
   std::vector<VT> Cv;
   ht::transpose_csr(n, n, Ap, Ai, Av, Cp, Ci, Cv);
+  if (std::getenv("HT_PROFILE")) {
+    auto t_tr = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[ht_crout] setup(transpose)=%.0fms\n",
+                 std::chrono::duration<double, std::milli>(t_tr - t_begin)
+                     .count());
+  }
 
   std::vector<VT> d(d0, d0 + m2);
   std::vector<unsigned char> status(n, 0);  // 0 pending 1 accepted 2 deferred
@@ -883,6 +969,12 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   std::vector<DropEnt<VT>> keep;
   Lids.reserve(rsv); Lvals.reserve(rsv);
   Uids.reserve(rsv); Uvals.reserve(rsv);
+  // adjacency stashes: the kappa walk is the COLD traversal of the two
+  // per-id linked lists (~100 cycles/node); stashing (step, val) into these
+  // compact buffers lets the ut/l outer loops re-read them sequentially
+  // instead of re-chasing the same cold pointers a second time
+  std::vector<i32> adjU_j, adjL_j;
+  std::vector<VT> adjU_v, adjL_v;
 
   const bool prof2 = std::getenv("HT_PROFILE2") != nullptr;
   unsigned long long n_ut_vis = 0, n_l_vis = 0, n_kap_vis = 0,
@@ -907,14 +999,21 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     }
     VT ku = VT(1.0), kl = VT(1.0);
     HT_TIC();
+    adjU_j.clear(); adjU_v.clear();
+    adjL_j.clear(); adjL_v.clear();
     if (step) {
       // incremental inverse-norm estimates (ref Crout.hpp:486); for the
       // symmetric LDL^T kernel kappa_u == kappa_l (ref factor.hpp:818-820),
-      // and the mode-2 mirror reuses kappa_ut (ref factor.hpp:858-860)
+      // and the mode-2 mirror reuses kappa_ut (ref factor.hpp:858-860).
+      // The walks also stash (step, val) for the ut/l outer loops below.
       VT sum = VT(0.0);
       if (!ldlt) {
         for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt) {
-          sum += kap_u[cols_of_U.pool[e].step] * cols_of_U.pool[e].val;
+          const i32 j = cols_of_U.pool[e].step;
+          const VT v = cols_of_U.pool[e].val;
+          adjU_j.push_back(j);
+          adjU_v.push_back(v);
+          sum += kap_u[j] * v;
           if (prof2) ++n_kap_vis;
         }
         const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
@@ -922,8 +1021,13 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       }
       if (ldlt || !mir) {
         sum = VT(0.0);
-        for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt)
-          sum += kap_l[rows_of_L.pool[e].step] * rows_of_L.pool[e].val;
+        for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt) {
+          const i32 j = rows_of_L.pool[e].step;
+          const VT v = rows_of_L.pool[e].val;
+          adjL_j.push_back(j);
+          adjL_v.push_back(v);
+          sum += kap_l[j] * v;
+        }
         const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
         kl = std::abs(k1) < std::abs(k2) ? k2 : k1;
       }
@@ -956,10 +1060,11 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           utv.push_back(Av[k]);
         }
       }
-      const Adj<VT> &radj = mir ? cols_of_U : rows_of_L;
-      for (i32 e = radj.head[idk]; e >= 0; e = radj.pool[e].nxt) {
-        const i32 j = radj.pool[e].step;
-        const VT ld = radj.pool[e].val * dvec[j];
+      const std::vector<i32> &rj = mir ? adjU_j : adjL_j;
+      const std::vector<VT> &rv = mir ? adjU_v : adjL_v;
+      for (i64 e = 0; e < (i64)rj.size(); ++e) {
+        const i32 j = rj[e];
+        const VT ld = rv[e] * dvec[j];
         i64 k = Uptr[j], end = Uend[j];
         while (k < end) {
           const i32 c = Uids[k];
@@ -1004,9 +1109,9 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       }
     }
     if (mir) {
-      for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt) {
-        const i32 j = cols_of_U.pool[e].step;
-        const VT du = dvec[j] * cols_of_U.pool[e].val;
+      for (i64 e = 0; e < (i64)adjU_j.size(); ++e) {
+        const i32 j = adjU_j[e];
+        const VT du = dvec[j] * adjU_v[e];
         for (i32 e2 = tail_of_L.head[j]; e2 >= 0;
              e2 = tail_of_L.pool[e2].nxt) {
           const i32 r = tail_of_L.pool[e2].step;  // row id
@@ -1020,13 +1125,11 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         }
       }
     } else {
-      for (i32 e = ldlt ? rows_of_L.head[idk] : cols_of_U.head[idk];
-           e >= 0;
-           e = ldlt ? rows_of_L.pool[e].nxt : cols_of_U.pool[e].nxt) {
-        const i32 j = ldlt ? rows_of_L.pool[e].step
-                           : cols_of_U.pool[e].step;
-        const VT du = dvec[j] * (ldlt ? rows_of_L.pool[e].val
-                                      : cols_of_U.pool[e].val);
+      const std::vector<i32> &cj = ldlt ? adjL_j : adjU_j;
+      const std::vector<VT> &cv = ldlt ? adjL_v : adjU_v;
+      for (i64 e = 0; e < (i64)cj.size(); ++e) {
+        const i32 j = cj[e];
+        const VT du = dvec[j] * cv[e];
         i64 k = Lptr[j], end = Lend[j];
         while (k < end) {
           const i32 r = Lids[k];

@@ -101,6 +101,7 @@ class Options:
     # --- TPU build extensions (not in the reference struct) ---------------
     dtype: str = "float64"    # factorization/solve precision
     use_native: int = 1       # use the compiled C++ host kernels when available
+    dist_schur: int = 0       # distributed ring-SpGEMM Schur over the mesh
 
     # -- introspection ------------------------------------------------------
     _REF_FIELDS = (
@@ -117,7 +118,8 @@ class Options:
         Returns ``True`` on *failure* (unknown name or bad value), matching the
         reference convention where a nonzero return flags an error.
         """
-        if name not in self._REF_FIELDS and name not in ("dtype", "use_native"):
+        if (name not in self._REF_FIELDS
+                and name not in ("dtype", "use_native", "dist_schur")):
             return True
         field_types = {f.name: f.type for f in dataclasses.fields(self)}
         ty = field_types[name]

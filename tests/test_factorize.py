@@ -372,6 +372,7 @@ def test_mt_serial_bit_identity(capfd):
     try:
         os.environ["HT_PROFILE"] = "1"
         os.environ.pop("HT_NO_MT", None)
+        os.environ["HT_MT"] = "1"   # force engagement on few-core hosts
         M_mt = HIF().factorize(A, opts)
         err_mt = capfd.readouterr().err
         assert "[ht_crout mt]" in err_mt  # the MT path actually engaged

@@ -150,3 +150,44 @@ def test_partitioned_hif_mrhs_and_trans():
     # transpose solve consistent with transposed operator preconditioning
     x_t = P.solve(B[:, 0], trans=True)
     assert np.all(np.isfinite(x_t))
+
+
+def test_schur_spgemm_ring_vs_dense_oracle(mesh_rows):
+    """Distributed ring SpGEMM (column panels rotated via ppermute) equals
+    the dense Schur S = C - L_E D U_F (ref Schur.hpp:214 semantics)."""
+    from hifir_tpu.ds.csr import csr_from_dense
+    from hifir_tpu.models import random_sparse
+    from hifir_tpu.parallel.schur import schur_spgemm_ring
+
+    rng = np.random.default_rng(7)
+    m, nm = 90, 53   # deliberately not divisible by 8
+    L_E = random_sparse(nm, 6, seed=1, ncols=m)
+    U_F = random_sparse(m, 5, seed=2, ncols=nm)
+    C = random_sparse(nm, 4, seed=3, ncols=nm)
+    d = rng.standard_normal(m) + 2.0
+    S = schur_spgemm_ring(C, L_E, d, U_F, mesh=mesh_rows)
+    S_dense = C.todense() - L_E.todense() @ np.diag(d) @ U_F.todense()
+    np.testing.assert_allclose(S.todense(), S_dense, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_schur_in_multilevel_factorize(mesh_rows):
+    """opts.dist_schur=1 runs every level's Schur as the distributed ring
+    SpGEMM on the 8-device mesh; the resulting multilevel preconditioner
+    must match the host-Schur factorization to fp roundoff."""
+    A = convdiff2d(40)
+    base = dict(tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3, kappa=5,
+                kappa_d=5, verbose=0, dense_thres=20, use_native=0)
+    M_host = HIF().factorize(A, Options(**base))
+    M_dist = HIF().factorize(A, Options(dist_schur=1, **base))
+    assert M_host.levels() == M_dist.levels() >= 3
+    # per-level agreement: identical structure, dense tail to roundoff
+    for ph, pd in zip(M_host.precs, M_dist.precs):
+        assert ph.m == pd.m and ph.n == pd.n
+        if ph.dense_matrix is not None:
+            np.testing.assert_allclose(pd.dense_matrix, ph.dense_matrix,
+                                       rtol=1e-12, atol=1e-13)
+    b = np.random.default_rng(0).standard_normal(A.nrows)
+    xh = M_host.solve(b)
+    xd = M_dist.solve(b)
+    np.testing.assert_allclose(xd, xh, rtol=1e-12,
+                               atol=1e-12 * np.abs(xh).max())
