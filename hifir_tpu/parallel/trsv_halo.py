@@ -1,4 +1,4 @@
-"""Distributed level-scheduled trsv with neighbor-halo ``ppermute`` exchange.
+"""Distributed level-scheduled trsv with compact per-chunk halo exchange.
 
 Replaces the per-chunk full-vector tiled ``all_gather`` of
 :mod:`.trsv_sharded` (the BASELINE north-star item: "partitioned triangular
@@ -12,20 +12,30 @@ Chunks of the level schedule are split across the ``rows`` mesh axis exactly
 as in :mod:`.trsv_sharded` (device k owns slot slice ``[c*C + k*Cloc,
 c*C + (k+1)*Cloc)`` of every chunk c), but the solution now lives
 *distributed*: device k keeps only its own slices — ``nchunks*Cloc``
-entries — plus a halo region holding the foreign slots its rows actually
-read.  For banded/RCM-ordered factors the positional split of each level
-set means those foreign slots live on the ring neighbors k±1 (the same
-geometric-locality argument as :mod:`.halo` for SpMV); the builder verifies
-this and returns ``None`` when any dependency crosses more than one device,
-so callers fall back to the all_gather variant.
+entries — plus a halo region holding exactly the foreign slots its rows
+actually read (host-counted at build time).
 
-Per chunk the exchange is two ``ppermute`` package sends (right and left)
-whose width is the *dependency halo* — host-counted, typically ≪ C — instead
-of the ``C - Cloc`` elements every device receives from the tiled
-all_gather.  The packages for chunk c are sent right after c's local FMA
-completes, while the (independent) gather/FMA of the next chunk can overlap
-under XLA's async collectives.  ``comm_elems`` / ``allgather_elems`` record
-the host-counted exchange volume for both schemes; tests assert the
+The chunk loop is **unrolled** (nchunks is static), so every chunk carries
+its own exact metadata instead of a scan-wide maximum:
+
+* the dependency gather is trimmed to that chunk's real max fan-in ``K_c``
+  (levels near the bottom of the schedule have tiny fan-in);
+* the exchange is split per chunk into up to three legs, each host-sized
+  to the exact halo it must carry (zero-width legs are elided entirely —
+  frequent for upper factors of banded orderings):
+
+  - ring-neighbor deps ride two ``ppermute`` package sends (point-to-point
+    over ICI; for RCM/banded factors this is nearly all of the halo);
+  - the far remainder rides one ``all_gather`` of a *compact* package per
+    device (only the slots some non-neighbor device reads, width =
+    per-chunk max over producers) instead of the whole ``C - Cloc``
+    remainder.
+
+Packages are sent right after the producing chunk's local FMA completes;
+consumers first touch them one chunk later at the earliest, so XLA's async
+collectives overlap the exchange with the next chunk's independent gather/FMA
+work.  ``comm_elems`` / ``allgather_elems`` record the host-counted exchange
+volume of this scheme vs the tiled-all_gather scheme; tests assert the
 reduction.
 
 Entry/exit remain single collectives (gather b, reassemble x) — the
@@ -36,7 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,38 +55,71 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.trsv import build_trsv_schedule
 
-__all__ = ["HaloTrsv", "build_halo_trsv", "halo_trsv_apply"]
+__all__ = ["HaloOp", "build_halo_op", "halo_op_kernel", "halo_trsv_apply"]
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
-class HaloTrsv:
-    """Host container of the placed per-device schedule arrays."""
+class HaloOp:
+    """Per-device placed halo-trsv operand (a pytree; shard_map-able).
 
-    mesh: Mesh
-    gcols: jax.Array        # (D, nchunks, Cloc, K) int32 LOCAL coords
-    gvals: jax.Array        # (D, nchunks, Cloc, K)
-    in_rows: jax.Array      # (D, nchunks*Cloc) int32 rows feeding own slots
-    out_slots: jax.Array    # (n,) int32 slot of each row (replicated)
-    send_r: jax.Array       # (D, nchunks, Wr) int32 local coords to send right
-    send_l: jax.Array       # (D, nchunks, Wl)
-    hl_off: jax.Array       # (nchunks,) int32 halo-from-left write offsets
-    hr_off: jax.Array       # (nchunks,) int32
-    n: int
+    Array children carry a leading device axis sharded over ``rows``; the
+    per-chunk tuples are ragged (chunk-exact widths/fan-ins), which is why
+    the apply loop is unrolled rather than scanned.
+    """
+
+    in_rows: jax.Array          # (D, own_len) int32 rows feeding own slots
+    out_slots: jax.Array        # (n,) int32 slot of each row (replicated)
+    gcols: Tuple[jax.Array, ...]   # per chunk (D, Cloc, K_c) int32 LOCAL coords
+    gvals: Tuple[jax.Array, ...]   # per chunk (D, Cloc, K_c)
+    sends: Tuple[Tuple[jax.Array, ...], ...]  # per chunk: see ``meta``
+    # -- static --
+    meta: Tuple[tuple, ...]     # per chunk (off_l, Wl, off_r, Wr, off_ag,
+    #   Wag): widths of the from-left / from-right ppermute packages and the
+    #   compact all_gather block, with their halo-region offsets; ``sends``
+    #   holds the corresponding (D, W) own-coordinate arrays for the
+    #   nonzero widths, in that order
     nchunks: int
-    chunk: int
     Cloc: int
-    own_len: int            # nchunks * Cloc
-    buf_len: int            # own + halo + 1 pad slot
-    Wr: int
-    Wl: int
-    comm_elems: int         # host-counted exchanged elements (both dirs, all devs)
-    allgather_elems: int    # what the tiled all_gather scheme would move
+    own_len: int
+    buf_len: int
+    D: int
+    n: int
+    comm_elems: int             # host-counted exchanged elements (all devs)
+    allgather_elems: int        # what the tiled all_gather scheme would move
+
+    def tree_flatten(self):
+        return ((self.in_rows, self.out_slots, self.gcols, self.gvals,
+                 self.sends),
+                (self.meta, self.nchunks, self.Cloc, self.own_len,
+                 self.buf_len, self.D, self.n, self.comm_elems,
+                 self.allgather_elems))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def spec(self) -> "HaloOp":
+        """Mirror pytree with PartitionSpecs (for shard_map in_specs)."""
+        return HaloOp(
+            in_rows=P("rows", None), out_slots=P(),
+            gcols=tuple(P("rows", None, None) for _ in self.gcols),
+            gvals=tuple(P("rows", None, None) for _ in self.gvals),
+            sends=tuple(tuple(P("rows", None) for _ in s)
+                        for s in self.sends),
+            meta=self.meta, nchunks=self.nchunks, Cloc=self.Cloc,
+            own_len=self.own_len, buf_len=self.buf_len, D=self.D, n=self.n,
+            comm_elems=self.comm_elems,
+            allgather_elems=self.allgather_elems)
 
 
-def build_halo_trsv(mesh: Mesh, T, lower: bool, chunk: int = 256,
-                    dtype=None) -> Optional[HaloTrsv]:
-    """Build the halo schedule; ``None`` when a dependency is non-neighbor
-    (caller should fall back to the all_gather variant)."""
+def build_halo_op(mesh: Mesh, T, lower: bool, chunk: int = 256,
+                  dtype=None) -> Optional[HaloOp]:
+    """Build the per-chunk halo schedule for ``(I + strict(T))^{-1}``.
+
+    Returns ``None`` when the factor is empty or the mesh has one device
+    (callers use the plain replicated/scan variant then).
+    """
     D = mesh.shape["rows"]
     C = max(chunk, D)
     C -= C % D
@@ -98,138 +141,185 @@ def build_halo_trsv(mesh: Mesh, T, lower: bool, chunk: int = 256,
     owner = (slot % C) // Cloc
     own_coord = (slot // C) * Cloc + (slot % C) - owner * Cloc
 
-    # per device: dependency analysis
-    dep = cols.reshape(nchunks, D, Cloc, K).transpose(1, 0, 2, 3)  # (D,...)
+    # (D, nchunks, Cloc, K) device-major dependency view
+    dep = cols.reshape(nchunks, D, Cloc, K).transpose(1, 0, 2, 3)
     dvals = vals.reshape(nchunks, D, Cloc, K).transpose(1, 0, 2, 3)
     pad = dep >= nslots  # sentinel
     dep_owner = np.where(pad, -1, owner[np.minimum(dep, nslots - 1)])
     me = np.arange(D)[:, None, None, None]
     foreign = (~pad) & (dep_owner != me)
-    delta = dep_owner - me
-    if np.any(foreign & (np.abs(delta) > 1)):
-        return None  # non-neighbor dependency: fall back
 
-    # halo slot sets per (receiving device k, producing chunk pc, direction)
-    # direction left = produced on k-1 (arrives via send-right), right = k+1
-    dep_chunk = dep // C
-    halo_sets_l = [[np.unique(dep[k][foreign[k] & (delta[k] == -1)
-                                      & (dep_chunk[k] == pc)])
-                    for pc in range(nchunks)] for k in range(D)]
-    halo_sets_r = [[np.unique(dep[k][foreign[k] & (delta[k] == 1)
-                                      & (dep_chunk[k] == pc)])
-                    for pc in range(nchunks)] for k in range(D)]
-    Wr = max((len(s) for dev in halo_sets_l for s in dev), default=0)
-    Wl = max((len(s) for dev in halo_sets_r for s in dev), default=0)
-    Wr = max(Wr, 1)
-    Wl = max(Wl, 1)
-
-    buf_len = own_len + nchunks * (Wr + Wl) + 1
-    LPAD = buf_len - 1
-    hl_off = own_len + np.arange(nchunks, dtype=np.int32) * Wr
-    hr_off = (own_len + nchunks * Wr
-              + np.arange(nchunks, dtype=np.int32) * Wl)
-
-    # local coordinate of a foreign dependency inside the halo regions
-    gcols = np.full((D, nchunks, Cloc, K), LPAD, dtype=np.int32)
-    send_r = np.full((D, nchunks, Wr), LPAD, dtype=np.int32)
-    send_l = np.full((D, nchunks, Wl), LPAD, dtype=np.int32)
-    comm = 0
+    # need[k][c]: sorted unique foreign slots device k reads that chunk c
+    # produced (the exchange for chunk c happens right after c's FMA)
+    need = []
     for k in range(D):
-        # map: global slot -> local coord on device k
-        loc = np.full(nslots + 1, LPAD, dtype=np.int64)
+        f = np.unique(dep[k][foreign[k]])     # ascending unique slots
+        cut = np.searchsorted(f // C, np.arange(nchunks + 1))
+        need.append([f[cut[c]:cut[c + 1]] for c in range(nchunks)])
+
+    # transport choice + halo offset assignment per chunk: ring-1 neighbor
+    # deps ride point-to-point ppermute packages; only the far remainder
+    # rides a compact all_gather (union of what anyone far reads)
+    meta = []
+    halo_off = own_len
+    comm = 0
+    send_plans = []               # per chunk: tuple of (D, W) send coords
+    # loc_extra[k]: dict slot -> local halo coordinate on device k
+    loc_extra = [dict() for _ in range(D)]
+    for c in range(nchunks):
+        nd = [need[k][c] for k in range(D)]
+        if all(len(s) == 0 for s in nd):
+            meta.append((0, 0, 0, 0, 0, 0))
+            send_plans.append(())
+            continue
+        ow = [owner[s] if len(s) else np.empty(0, np.int64) for s in nd]
+        fl = [nd[k][ow[k] == k - 1] for k in range(D)]   # from left neighbor
+        fr = [nd[k][ow[k] == k + 1] for k in range(D)]   # from right neighbor
+        far = [nd[k][(ow[k] != k - 1) & (ow[k] != k + 1)] for k in range(D)]
+        Wl = max(len(s) for s in fl)
+        Wr = max(len(s) for s in fr)
+        union = [np.unique(np.concatenate(
+            [far[k][owner[far[k]] == o] for k in range(D)]))
+            for o in range(D)]
+        Wag = max(len(u) for u in union)
+        # a pure compact all_gather (ring-1 deps folded into the union) can
+        # move fewer elements than the ppermute+all_gather mix when the far
+        # part dominates: pick the cheaper plan by host count
+        union_all = [np.unique(np.concatenate(
+            [nd[k][ow[k] == o] for k in range(D)])) for o in range(D)]
+        Wag_all = max(len(u) for u in union_all)
+        if D * Wag_all < Wl + Wr + D * Wag:
+            fl = [s[:0] for s in fl]
+            fr = [s[:0] for s in fr]
+            far, union = nd, union_all
+            Wl = Wr = 0
+            Wag = Wag_all
+        off_l = halo_off
+        off_r = off_l + Wl
+        off_ag = off_r + Wr
+        halo_off = off_ag + D * Wag
+        meta.append((off_l, Wl, off_r, Wr, off_ag, Wag))
+        plan = []
+        if Wl:
+            # device j sends rightward what j+1 needs from j; consumer k
+            # maps its from-left set by rank
+            send_r = np.full((D, Wl), -1, dtype=np.int64)
+            for k in range(D):
+                if k + 1 < D and len(fl[k + 1]):
+                    send_r[k, :len(fl[k + 1])] = own_coord[fl[k + 1]]
+                for r, s in enumerate(fl[k]):
+                    loc_extra[k][s] = off_l + r
+            plan.append(send_r)
+            comm += (D - 1) * Wl
+        if Wr:
+            send_l = np.full((D, Wr), -1, dtype=np.int64)
+            for k in range(D):
+                if k - 1 >= 0 and len(fr[k - 1]):
+                    send_l[k, :len(fr[k - 1])] = own_coord[fr[k - 1]]
+                for r, s in enumerate(fr[k]):
+                    loc_extra[k][s] = off_r + r
+            plan.append(send_l)
+            comm += (D - 1) * Wr
+        if Wag:
+            send = np.full((D, Wag), -1, dtype=np.int64)
+            for o in range(D):
+                if len(union[o]):
+                    send[o, :len(union[o])] = own_coord[union[o]]
+                rank = {s: r for r, s in enumerate(union[o])}
+                for k in range(D):
+                    for s in far[k][owner[far[k]] == o]:
+                        loc_extra[k][s] = off_ag + o * Wag + rank[s]
+            plan.append(send)
+            comm += D * (D - 1) * Wag
+        send_plans.append(tuple(plan))
+
+    buf_len = halo_off + 1
+    LPAD = buf_len - 1
+
+    # per-device local coordinate of every dependency
+    loc = np.full((D, nslots + 1), LPAD, dtype=np.int64)
+    for k in range(D):
         mine = owner == k
-        loc[:nslots][mine] = own_coord[mine]
-        for pc in range(nchunks):
-            sl = halo_sets_l[k][pc]
-            loc[sl] = hl_off[pc] + np.arange(len(sl))
-            sr = halo_sets_r[k][pc]
-            loc[sr] = hr_off[pc] + np.arange(len(sr))
-            comm += len(sl) + len(sr)
-        dk = np.where(pad[k], nslots, dep[k])
-        gcols[k] = loc[dk]
-        # what k must SEND: the sets its neighbors receive, in their order
-        for pc in range(nchunks):
-            if k + 1 < D:
-                s = halo_sets_l[k + 1][pc]   # produced on k, consumed on k+1
-                send_r[k, pc, :len(s)] = own_coord[s]
-            if k - 1 >= 0:
-                s = halo_sets_r[k - 1][pc]
-                send_l[k, pc, :len(s)] = own_coord[s]
+        loc[k, :nslots][mine] = own_coord[mine]
+        if loc_extra[k]:
+            ks = np.fromiter(loc_extra[k].keys(), dtype=np.int64)
+            vs = np.fromiter(loc_extra[k].values(), dtype=np.int64)
+            loc[k, ks] = vs
+
+    sh2 = NamedSharding(mesh, P("rows", None))
+    sh3 = NamedSharding(mesh, P("rows", None, None))
+    rep = NamedSharding(mesh, P())
+
+    gcols, gvals, sends = [], [], []
+    for c in range(nchunks):
+        # trim to the chunk's real fan-in
+        Kc = max(int((~pad[:, c]).sum(axis=2).max()), 1)
+        dk = np.where(pad[:, c, :, :Kc], nslots, dep[:, c, :, :Kc])
+        lc = np.take_along_axis(loc, dk.reshape(D, -1), axis=1) \
+            .reshape(D, Cloc, Kc)
+        gcols.append(jax.device_put(jnp.asarray(lc.astype(np.int32)), sh3))
+        gvals.append(jax.device_put(jnp.asarray(dvals[:, c, :, :Kc]), sh3))
+        sends.append(tuple(
+            jax.device_put(jnp.asarray(
+                np.where(s < 0, LPAD, s).astype(np.int32)), sh2)
+            for s in send_plans[c]))
 
     in_rows = np.asarray(sched.in_rows).reshape(nchunks, D, Cloc) \
         .transpose(1, 0, 2).reshape(D, own_len)
 
-    sh = NamedSharding(mesh, P("rows"))
-    shn = NamedSharding(mesh, P())
-
-    def put(a, spec):
-        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
-
-    return HaloTrsv(
-        mesh=mesh,
-        gcols=put(gcols, P("rows", None, None, None)),
-        gvals=put(dvals.copy(), P("rows", None, None, None)),
-        in_rows=put(in_rows, P("rows", None)),
-        out_slots=put(np.asarray(sched.out_slots), P()),
-        send_r=put(send_r, P("rows", None, None)),
-        send_l=put(send_l, P("rows", None, None)),
-        hl_off=put(hl_off, P()),
-        hr_off=put(hr_off, P()),
-        n=n, nchunks=nchunks, chunk=C, Cloc=Cloc, own_len=own_len,
-        buf_len=buf_len, Wr=Wr, Wl=Wl, comm_elems=comm,
-        allgather_elems=D * nchunks * (C - Cloc))
+    return HaloOp(
+        in_rows=jax.device_put(jnp.asarray(in_rows.astype(np.int32)), sh2),
+        out_slots=jax.device_put(sched.out_slots, rep),
+        gcols=tuple(gcols), gvals=tuple(gvals), sends=tuple(sends),
+        meta=tuple(meta), nchunks=nchunks, Cloc=Cloc, own_len=own_len,
+        buf_len=buf_len, D=D, n=n, comm_elems=comm,
+        allgather_elems=nchunks * D * (C - Cloc))
 
 
-def _halo_kernel(nchunks, Cloc, own_len, buf_len, Wr, Wl, D,
-                 gcols, gvals, in_rows, out_slots, send_r, send_l,
-                 hl_off, hr_off, b):
-    gcols, gvals = gcols[0], gvals[0]            # (nchunks, Cloc, K)
-    in_rows, send_r, send_l = in_rows[0], send_r[0], send_l[0]
+def halo_op_kernel(op: HaloOp, b: jax.Array) -> jax.Array:
+    """shard_map-internal apply: solve (I + strict(T)) x = b.
+
+    ``b`` replicated; the working vector distributed (own slices + halo);
+    the result replicated (single exit all_gather).
+    """
+    D, Cloc = op.D, op.Cloc
     right = [(d, d + 1) for d in range(D - 1)]
     left = [(d, d - 1) for d in range(1, D)]
+    in_rows = op.in_rows[0]
 
     b_ext = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
-    x = jnp.zeros((buf_len,), dtype=b.dtype)
+    x = jnp.zeros((op.buf_len,), dtype=b.dtype)
     x = jax.lax.dynamic_update_slice(x, b_ext[in_rows], (0,))
 
-    def body(carry, xs):
-        x, own_off = carry
-        cc, vv, sr, sl, hlo, hro = xs
+    off = 0
+    for c in range(op.nchunks):
+        cc, vv = op.gcols[c][0], op.gvals[c][0]
         contrib = (vv * x[cc]).sum(axis=1)
-        cur = jax.lax.dynamic_slice(x, (own_off,), (Cloc,))
-        x = jax.lax.dynamic_update_slice(x, cur - contrib, (own_off,))
-        # neighbor halo exchange of just-produced slots (edge devices
-        # receive zeros -- never read by construction)
-        pkg_r = x[sr]
-        recv_l = jax.lax.ppermute(pkg_r, "rows", right)
-        x = jax.lax.dynamic_update_slice(x, recv_l, (hlo,))
-        pkg_l = x[sl]
-        recv_r = jax.lax.ppermute(pkg_l, "rows", left)
-        x = jax.lax.dynamic_update_slice(x, recv_r, (hro,))
-        return (x, own_off + jnp.int32(Cloc)), None
+        cur = jax.lax.dynamic_slice(x, (off,), (Cloc,))
+        x = jax.lax.dynamic_update_slice(x, cur - contrib, (off,))
+        off_l, Wl, off_r, Wr, off_ag, Wag = op.meta[c]
+        plan = iter(op.sends[c])
+        if Wl:
+            recv = jax.lax.ppermute(x[next(plan)[0]], "rows", right)
+            x = jax.lax.dynamic_update_slice(x, recv, (off_l,))
+        if Wr:
+            recv = jax.lax.ppermute(x[next(plan)[0]], "rows", left)
+            x = jax.lax.dynamic_update_slice(x, recv, (off_r,))
+        if Wag:
+            pkg = x[next(plan)[0]]
+            allp = jax.lax.all_gather(pkg, "rows", axis=0, tiled=True)
+            x = jax.lax.dynamic_update_slice(x, allp, (off_ag,))
+        off += Cloc
 
-    (x, _), _ = jax.lax.scan(
-        body, (x, jnp.int32(0)),
-        (gcols, gvals, send_r, send_l, hl_off, hr_off))
-    # reassemble: own slices -> full slot vector -> row order (one collective)
-    own = x[:own_len].reshape(nchunks, Cloc)
+    own = x[:op.own_len].reshape(op.nchunks, Cloc)
     full = jax.lax.all_gather(own, "rows", axis=1, tiled=True)  # (nchunks, C)
-    return full.reshape(-1)[out_slots]
+    return full.reshape(-1)[op.out_slots]
 
 
-def halo_trsv_apply(ht: HaloTrsv, b: jax.Array) -> jax.Array:
-    """Solve (I + strict(T)) x = b; b and x replicated at the interface,
-    the working vector sharded."""
-    D = ht.mesh.shape["rows"]
-    fn = jax.shard_map(
-        functools.partial(_halo_kernel, ht.nchunks, ht.Cloc, ht.own_len,
-                          ht.buf_len, ht.Wr, ht.Wl, D),
-        mesh=ht.mesh,
-        in_specs=(P("rows", None, None, None), P("rows", None, None, None),
-                  P("rows", None), P(), P("rows", None, None),
-                  P("rows", None, None), P(), P(), P()),
-        out_specs=P(),
-        check_vma=False)
-    return jax.jit(fn)(ht.gcols, ht.gvals, ht.in_rows, ht.out_slots,
-                       ht.send_r, ht.send_l, ht.hl_off, ht.hr_off,
-                       jnp.asarray(b))
+def halo_trsv_apply(op: HaloOp, b: jax.Array) -> jax.Array:
+    """Standalone jitted apply of one halo-trsv operator over its mesh."""
+    mesh = op.in_rows.sharding.mesh
+    fn = jax.shard_map(halo_op_kernel, mesh=mesh,
+                       in_specs=(op.spec(), P()), out_specs=P(),
+                       check_vma=False)
+    return jax.jit(fn)(op, jnp.asarray(b))

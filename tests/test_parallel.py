@@ -152,6 +152,51 @@ def test_partitioned_hif_mrhs_and_trans():
     assert np.all(np.isfinite(x_t))
 
 
+@pytest.mark.parametrize("lower", [True, False])
+def test_halo_trsv_exact_and_compact(mesh_rows, lower):
+    """Per-chunk halo-exchange trsv (ppermute + compact all_gather legs)
+    is exact and moves strictly less than the tiled-all_gather scheme."""
+    from hifir_tpu.parallel import build_halo_op, halo_trsv_apply
+
+    n = 400
+    T = random_strict_triangular(n, lower=lower, seed=9)
+    op = build_halo_op(mesh_rows, T, lower=lower, chunk=64)
+    assert op is not None
+    b = np.random.default_rng(1).standard_normal(n)
+    x = np.asarray(halo_trsv_apply(op, b))
+    xr = T.solve_as_strict_lower(b) if lower else T.solve_as_strict_upper(b)
+    np.testing.assert_allclose(x, xr, atol=1e-10)
+    assert 0 < op.comm_elems < op.allgather_elems
+
+
+def test_dist_prec_halo_exact_and_comm_reduction(mesh_rows):
+    """DistPrec carried by halo trsv ops on a >=3-level, >=8-chunk/level
+    factorization: exact vs host recursion, with host-counted exchange
+    volume well below the tiled-all_gather scheme (VERDICT r1 item 3)."""
+    A = poisson2d(64)
+    opts = Options(tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3, kappa=5,
+                   kappa_d=5, verbose=0, dense_thres=50)
+    M = HIF().factorize(A, opts)
+    assert M.levels() >= 3
+    dp = DistPrec.from_host(mesh_rows, M, chunk=64)
+    from hifir_tpu.parallel.trsv_halo import HaloOp
+
+    assert dp.n_halo >= 4   # every non-trivial L/U factor carried by halo
+    assert all(isinstance(l.L_op, HaloOp) and l.L_op.nchunks >= 8
+               for l in dp.levels[:2])
+    # exchange volume must be a real reduction, not a tie
+    assert dp.comm_elems < 0.5 * dp.allgather_elems
+    b = np.random.default_rng(0).standard_normal(A.nrows)
+    xd = np.asarray(dp.solve(b))
+    xh = M.solve(b)
+    np.testing.assert_allclose(xd, xh, atol=1e-12 * np.abs(xh).max())
+    # the all_gather fallback path stays available and equally exact
+    dp_ag = DistPrec.from_host(mesh_rows, M, chunk=64, halo=False)
+    assert dp_ag.n_halo == 0
+    np.testing.assert_allclose(np.asarray(dp_ag.solve(b)), xh,
+                               atol=1e-12 * np.abs(xh).max())
+
+
 def test_schur_spgemm_ring_vs_dense_oracle(mesh_rows):
     """Distributed ring SpGEMM (column panels rotated via ppermute) equals
     the dense Schur S = C - L_E D U_F (ref Schur.hpp:214 semantics)."""
