@@ -49,8 +49,9 @@ def main():
     M = HIF().factorize(A, opts)
     t_fact = time.time() - t0
     nnz_m = M.nnz()
+    fact_thr = A.nnz / t_fact  # north-star "factorization nnz/s" (BASELINE.json)
     log(f"n={n} nnz(A)={A.nnz} factorize {t_fact:.2f}s "
-        f"({A.nnz / t_fact / 1e6:.2f} Mnnz/s) fill {nnz_m / A.nnz:.2f} "
+        f"({fact_thr / 1e6:.2f} Mnnz/s) fill {nnz_m / A.nnz:.2f} "
         f"levels {M.levels()}")
 
     # --- host baseline: serial single-RHS M-solve (native C++ kernels) -----
@@ -92,17 +93,28 @@ def main():
     if not (rel_dev < 1e-4):
         log("WARNING: device solve deviates from host beyond f32 tolerance")
 
-    # --- correctness 2: mixed f32-M / f64-residual IR must contract --------
+    # --- correctness 2: mixed f32-M / f64-residual IR must contract ---------
+    # The optimized-params M above is deliberately weak (GMRES-grade); for
+    # the mixed-precision IR demonstration (reference ``lhfsdApply``,
+    # BASELINE.json config 3) use the robust defaults, whose Richardson
+    # contraction is strong, and track the per-step contraction factor.
+    Mr = HIF().factorize(A, Options(verbose=0))
+    dpr = Mr.to_device(dtype=jnp.float32)
     x = np.zeros(n)
     bb = np.asarray(B[:, 0], dtype=np.float64)
-    r0 = np.linalg.norm(bb)
+    rnorms = [np.linalg.norm(bb)]
     for _ in range(10):
         r = bb - A.matvec(x)
-        dx = np.asarray(dp.solve_mrhs(jnp.asarray(r, jnp.float32)[:, None]))
+        dx = np.asarray(dpr.solve_mrhs(jnp.asarray(r, jnp.float32)[:, None]))
         x = x + dx[:, 0].astype(np.float64)
-    rel = np.linalg.norm(bb - A.matvec(x)) / r0
-    log(f"mixed-precision IR residual after 10 steps: {rel:.2e}")
-    if not (rel < 0.1):
+        rnorms.append(np.linalg.norm(bb - A.matvec(x)))
+    rel = rnorms[-1] / rnorms[0]
+    # median per-step contraction over the steps before f32 stagnation
+    steps = [rnorms[i + 1] / rnorms[i] for i in range(10) if rnorms[i] > 0]
+    contraction = float(np.median(steps[:5]))
+    log(f"mixed-precision IR (robust M): residual {rel:.2e} after 10 steps, "
+        f"median contraction/step {contraction:.3f}")
+    if not (contraction < 0.5):
         log("WARNING: IR contraction is weak for this configuration")
 
     print(json.dumps({
@@ -110,6 +122,12 @@ def main():
         "value": round(tpu_thr, 1),
         "unit": "nnz/s",
         "vs_baseline": round(tpu_thr / host_thr, 3),
+        "extras": {
+            "factorize_nnz_per_s": round(fact_thr, 1),
+            "fill_ratio": round(nnz_m / A.nnz, 3),
+            "ir_contraction_per_step": round(contraction, 4),
+            "ir_rel_residual_10_steps": float(f"{rel:.3e}"),
+        },
     }), flush=True)
 
 

@@ -18,6 +18,7 @@ if TYPE_CHECKING:  # pragma: no cover
     from ..ds.csr import CSR
 
 __all__ = [
+    "query_mm",
     "read_mm",
     "read_mm_vector",
     "write_mm",
@@ -31,6 +32,32 @@ def _open(fname: str, mode: str = "rt"):
     if str(fname).endswith(".gz"):
         return gzip.open(fname, mode)
     return open(fname, mode)
+
+
+def query_mm(fname: str) -> dict:
+    """Inspect a MatrixMarket file header without reading the data
+    (ref ``lhfQueryMmFile``, ``libhifir.h:303``).
+
+    Returns ``{is_sparse, is_real, nrows, ncols, nnz}``; for a dense array
+    file ``nrows`` is the array length and ``ncols``/``nnz`` are 0 (the
+    reference convention).
+    """
+    with _open(fname) as f:
+        header = f.readline().strip().lower().split()
+        if len(header) < 5 or header[0] != "%%matrixmarket":
+            raise ValueError(f"{fname}: not a MatrixMarket file")
+        _, obj, fmt, field, _symm = header[:5]
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        sizes = [int(v) for v in line.split()]
+    is_sparse = fmt == "coordinate"
+    if is_sparse:
+        nrows, ncols, nnz = sizes
+    else:
+        nrows, ncols, nnz = sizes[0] * sizes[1], 0, 0
+    return {"is_sparse": is_sparse, "is_real": field != "complex",
+            "nrows": nrows, "ncols": ncols, "nnz": nnz}
 
 
 def read_mm(fname: str):
