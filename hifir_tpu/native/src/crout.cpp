@@ -150,6 +150,18 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   res->ord.insert(res->ord.end(), ordC.begin(), ordC.end());
   const i64 nm0 = n - m;
 
+  // The E/F extraction, the U split and the L split read disjoint inputs
+  // and write disjoint outputs, so they run as concurrent sections (the
+  // machine has >=2 cores and each block alone is single-threaded
+  // counting-sort work).
+  const i64 nm = n - m;
+  std::vector<i64> UFp(m + 1, 0), LEp(nm + 1, 0);
+  std::vector<i32> UFi, LEi;
+  std::vector<VT> UFv, LEv;
+#pragma omp parallel sections num_threads(2) if (Ap[n] > 1 << 20)
+ {
+#pragma omp section
+ {
   // ---- E / F blocks of Ahat in final ordering (ref extract_E/F,
   // factor.hpp:185-368), assembled with counting sort, O(nnz).  The posC
   // map is gathered ONCE into a sequential i32 scratch (the gather is the
@@ -205,14 +217,13 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       }
     }
   }
-  mark("EF_extract");
-
+ }  // omp section (E/F)
+#pragma omp section
+ {
   // ---- split U rows into U_B (CSR, cols < m) and U_F^T rows; L columns into
   // L_B (transposed to CSR) and L_E rows ----
-  const i64 nm = n - m;
   // U_B CSR (row per step), U_F as CSC (column j of U -> tail cols)
   res->Up.assign(m + 1, 0);
-  std::vector<i64> UFp(m + 1, 0);
   std::vector<i32> upos(Uptr[m]);  // posC gathered once (see EF note)
   for (i64 j = 0; j < m; ++j) {
     for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
@@ -230,8 +241,8 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   }
   res->Ui.resize(res->Up[m]);
   res->Uv.resize(res->Up[m]);
-  std::vector<i32> UFi(UFp[m]);
-  std::vector<VT> UFv(UFp[m]);
+  UFi.resize(UFp[m]);
+  UFv.resize(UFp[m]);
   {
     std::vector<i64> nb(res->Up.begin(), res->Up.end() - 1);
     std::vector<i64> nf(UFp.begin(), UFp.end() - 1);
@@ -275,12 +286,10 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       }
     }
   }
-  mark("U_split_sort");
 
   // L columns -> split into L_B (m x m, want CSR) and L_E ((n-m) x m CSR)
   // first count rows
   res->Lp.assign(m + 1, 0);
-  std::vector<i64> LEp(nm + 1, 0);
   std::vector<i32> lpos(Lptr[m]);  // posR gathered once (see EF note)
   for (i64 j = 0; j < m; ++j)
     for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
@@ -295,8 +304,8 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   for (i64 i = 0; i < nm; ++i) LEp[i + 1] += LEp[i];
   res->Li.resize(res->Lp[m]);
   res->Lv.resize(res->Lp[m]);
-  std::vector<i32> LEi(LEp[nm]);
-  std::vector<VT> LEv(LEp[nm]);
+  LEi.resize(LEp[nm]);
+  LEv.resize(LEp[nm]);
   {
     std::vector<i64> nb(res->Lp.begin(), res->Lp.end() - 1);
     std::vector<i64> ne(LEp.begin(), LEp.end() - 1);
@@ -314,9 +323,11 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   }
   lpos.clear();
   lpos.shrink_to_fit();
+ }  // omp section (U/L splits)
+ }  // omp parallel sections
 
   res->d = dvec;
-  mark("L_split");
+  mark("EF_and_splits");
 
   // ---- L_E / U_F dropping (ref Schur.hpp:61-190); the two drops touch
   // disjoint data, so they run as concurrent sections (the reference has an
@@ -429,13 +440,14 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
 
     mark("LE_UF_drop");
     // ---- Schur: S = Ahat[tail, tail] - L_E D U_F (ref Schur.hpp:214),
-    // static row halves on two threads with per-thread accumulators and
-    // output chunks (the reference ships an OpenMP row-block variant as
-    // well, Schur.hpp:587); outputs are identical to the serial pass ----
+    // static row halves on two threads with per-thread accumulators,
+    // TWO-PASS like the reference's symbolic+numeric split (Schur.hpp:
+    // 242-361): pass 1 counts each row's unique tail columns (tags only),
+    // then every row writes its sorted output DIRECTLY at its exact final
+    // offset — no growable per-thread buffers (vector doubling was copying
+    // the whole output multiple times) and no merge memcpy ----
     res->Sp.assign(nm + 1, 0);
     const int nthr = nm >= 4096 ? 2 : 1;
-    std::vector<std::vector<i32>> tSi(nthr);
-    std::vector<std::vector<VT>> tSv(nthr);
 #pragma omp parallel num_threads(nthr) if (nthr > 1)
     {
       // num_threads is a request, not a guarantee: stride the fixed row
@@ -454,7 +466,8 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       std::vector<i32> stag(nm, -1);
       std::vector<i32> srow;
       i64 nterms = 0;
-      unsigned long long cyc_a = 0, cyc_t = 0, cyc_s = 0, cyc_p = 0, tq = 0;
+      unsigned long long cyc_a = 0, cyc_t = 0, cyc_s = 0, cyc_p = 0,
+                         cyc_srt = 0, cyc_c = 0, tq = 0;
       const bool prof2s = std::getenv("HT_PROFILE2") != nullptr;
 #define HTS_TIC() if (prof2s) tq = __rdtsc()
 #define HTS_TOC(acc) if (prof2s) acc += __rdtsc() - tq
@@ -470,12 +483,50 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       const i32 *HT_RESTRICT lei = LEi.data();
       const VT *HT_RESTRICT lev = LEv.data();
       const VT *HT_RESTRICT pdv = dvec.data();
+      // ---- pass 1: symbolic row sizes (tags only) ----
+      HTS_TIC();
+      for (int chunk = tid; chunk < nthr; chunk += team) {
+        const i64 lo = (i64)chunk * nm / nthr,
+                  hi = (i64)(chunk + 1) * nm / nthr;
+        for (i64 i = lo; i < hi; ++i) {
+          const i64 arow = ordR[m + i];
+          const i32 itag = (i32)i;
+          i64 cnt = 0;
+          for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+            const i64 pc = posC[Ai[k]];
+            if (pc >= m) {
+              ptag[pc - m] = itag;
+              ++cnt;
+            }
+          }
+          for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
+            const i32 j = lei[k];
+            const i64 e0 = ufp[j], e1 = ufp[j + 1];
+            for (i64 kk = e0; kk < e1; ++kk) {
+              const i32 c = ufi[kk];
+              if (ptag[c] != itag) {
+                ptag[c] = itag;
+                ++cnt;
+              }
+            }
+          }
+          res->Sp[i + 1] = cnt;
+        }
+      }
+      std::memset(stag.data(), 0xff, stag.size() * sizeof(i32));
+      HTS_TOC(cyc_c);
+#pragma omp barrier
+#pragma omp single
+      {
+        for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] += res->Sp[i];
+        res->Si.resize(res->Sp[nm]);
+        res->Sv.resize(res->Sp[nm]);
+      }  // implicit barrier
+      i32 *HT_RESTRICT psi = res->Si.data();
+      VT *HT_RESTRICT psv = res->Sv.data();
+      // ---- pass 2: numeric, written at exact final offsets ----
       for (int chunk = tid; chunk < nthr; chunk += team) {
       const i64 lo = (i64)chunk * nm / nthr, hi = (i64)(chunk + 1) * nm / nthr;
-      auto &Si = tSi[chunk];
-      auto &Sv = tSv[chunk];
-      Si.reserve((LEp[nm] + Ap[n] / 2) / nthr + 16);
-      Sv.reserve(Si.capacity());
       for (i64 i = lo; i < hi; ++i) {
         srow.clear();
         const i64 arow = ordR[m + i];
@@ -510,8 +561,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         HTS_TOC(cyc_t);
         HTS_TIC();
         // gather {col, val} pairs while acc is still cache-hot, then sort
-        // the compact pair buffer and bulk-append (a sort-then-regather
-        // ordering costs ~125 cycles per output element here)
+        // the compact pair buffer and write at the row's final offset
         rowbuf.resize(srow.size());
         for (size_t tpos = 0; tpos < srow.size(); ++tpos)
           rowbuf[tpos] = SEnt{srow[tpos], pacc[srow[tpos]]};
@@ -519,39 +569,27 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         HTS_TIC();
         ht::radix_sort_by_key(rowbuf.data(), (i64)rowbuf.size(), rowtmp,
                               (i32)nm, [](const SEnt &e) { return e.c; });
-        const size_t base = Si.size();
-        Si.resize(base + rowbuf.size());
-        Sv.resize(base + rowbuf.size());
+        HTS_TOC(cyc_srt);
+        HTS_TIC();
+        const i64 base = res->Sp[i];
         for (size_t tpos = 0; tpos < rowbuf.size(); ++tpos) {
-          Si[base + tpos] = rowbuf[tpos].c;
-          Sv[base + tpos] = rowbuf[tpos].v;
+          psi[base + tpos] = rowbuf[tpos].c;
+          psv[base + tpos] = rowbuf[tpos].v;
         }
         HTS_TOC(cyc_p);
-        res->Sp[i + 1] = (i64)srow.size();  // row size; prefixed below
       }
       }  // chunk stride
       if (prof && nterms)
 #pragma omp critical
         std::fprintf(stderr,
                      "[ht_finalize] schur_terms(t%d)=%lldM team=%d "
-                     "a=%.2fGc t=%.2fGc s=%.2fGc p=%.2fGc\n",
-                     tid, (long long)(nterms / 1000000), team, cyc_a * 1e-9,
-                     cyc_t * 1e-9, cyc_s * 1e-9, cyc_p * 1e-9);
+                     "c=%.2fGc a=%.2fGc t=%.2fGc s=%.2fGc srt=%.2fGc "
+                     "p=%.2fGc\n",
+                     tid, (long long)(nterms / 1000000), team, cyc_c * 1e-9,
+                     cyc_a * 1e-9, cyc_t * 1e-9, cyc_s * 1e-9,
+                     cyc_srt * 1e-9, cyc_p * 1e-9);
 #undef HTS_TIC
 #undef HTS_TOC
-    }
-    for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] += res->Sp[i];
-    res->Si.resize(res->Sp[nm]);
-    res->Sv.resize(res->Sp[nm]);
-    i64 off = 0;
-    for (int t = 0; t < nthr; ++t) {
-      if (!tSi[t].empty()) {
-        std::memcpy(res->Si.data() + off, tSi[t].data(),
-                    tSi[t].size() * sizeof(i32));
-        std::memcpy(res->Sv.data() + off, tSv[t].data(),
-                    tSv[t].size() * sizeof(VT));
-      }
-      off += (i64)tSi[t].size();
     }
     mark("Schur");
   } else {
@@ -1006,33 +1044,69 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       // symmetric LDL^T kernel kappa_u == kappa_l (ref factor.hpp:818-820),
       // and the mode-2 mirror reuses kappa_ut (ref factor.hpp:858-860).
       // The walks also stash (step, val) for the ut/l outer loops below.
-      VT sum = VT(0.0);
-      if (!ldlt) {
-        for (i32 e = cols_of_U.head[idk]; e >= 0; e = cols_of_U.pool[e].nxt) {
-          const i32 j = cols_of_U.pool[e].step;
-          const VT v = cols_of_U.pool[e].val;
-          adjU_j.push_back(j);
-          adjU_v.push_back(v);
-          sum += kap_u[j] * v;
-          if (prof2) ++n_kap_vis;
+      // the two chases are independent dependent-miss chains; running them
+      // interleaved doubles the memory-level parallelism of this
+      // latency-bound walk (each chain's own accumulation order — and thus
+      // the fp sum — is unchanged)
+      if (!ldlt && !mir) {
+        VT sumu = VT(0.0), suml = VT(0.0);
+        i32 eu = cols_of_U.head[idk], el = rows_of_L.head[idk];
+        while (eu >= 0 || el >= 0) {
+          if (eu >= 0) {
+            const i32 j = cols_of_U.pool[eu].step;
+            const VT v = cols_of_U.pool[eu].val;
+            eu = cols_of_U.pool[eu].nxt;
+            if (eu >= 0) __builtin_prefetch(&cols_of_U.pool[eu], 0, 1);
+            adjU_j.push_back(j);
+            adjU_v.push_back(v);
+            sumu += kap_u[j] * v;
+            if (prof2) ++n_kap_vis;
+          }
+          if (el >= 0) {
+            const i32 j = rows_of_L.pool[el].step;
+            const VT v = rows_of_L.pool[el].val;
+            el = rows_of_L.pool[el].nxt;
+            if (el >= 0) __builtin_prefetch(&rows_of_L.pool[el], 0, 1);
+            adjL_j.push_back(j);
+            adjL_v.push_back(v);
+            suml += kap_l[j] * v;
+          }
         }
-        const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
-        ku = std::abs(k1) < std::abs(k2) ? k2 : k1;
-      }
-      if (ldlt || !mir) {
-        sum = VT(0.0);
-        for (i32 e = rows_of_L.head[idk]; e >= 0; e = rows_of_L.pool[e].nxt) {
-          const i32 j = rows_of_L.pool[e].step;
-          const VT v = rows_of_L.pool[e].val;
-          adjL_j.push_back(j);
-          adjL_v.push_back(v);
-          sum += kap_l[j] * v;
+        const VT k1u = VT(1.0) - sumu, k2u = VT(-1.0) - sumu;
+        ku = std::abs(k1u) < std::abs(k2u) ? k2u : k1u;
+        const VT k1l = VT(1.0) - suml, k2l = VT(-1.0) - suml;
+        kl = std::abs(k1l) < std::abs(k2l) ? k2l : k1l;
+      } else {
+        VT sum = VT(0.0);
+        if (!ldlt) {
+          for (i32 e = cols_of_U.head[idk]; e >= 0;
+               e = cols_of_U.pool[e].nxt) {
+            const i32 j = cols_of_U.pool[e].step;
+            const VT v = cols_of_U.pool[e].val;
+            adjU_j.push_back(j);
+            adjU_v.push_back(v);
+            sum += kap_u[j] * v;
+            if (prof2) ++n_kap_vis;
+          }
+          const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
+          ku = std::abs(k1) < std::abs(k2) ? k2 : k1;
         }
-        const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
-        kl = std::abs(k1) < std::abs(k2) ? k2 : k1;
+        if (ldlt || !mir) {
+          sum = VT(0.0);
+          for (i32 e = rows_of_L.head[idk]; e >= 0;
+               e = rows_of_L.pool[e].nxt) {
+            const i32 j = rows_of_L.pool[e].step;
+            const VT v = rows_of_L.pool[e].val;
+            adjL_j.push_back(j);
+            adjL_v.push_back(v);
+            sum += kap_l[j] * v;
+          }
+          const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
+          kl = std::abs(k1) < std::abs(k2) ? k2 : k1;
+        }
+        if (ldlt) ku = kl;
+        if (mir) kl = ku;
       }
-      if (ldlt) ku = kl;
-      if (mir) kl = ku;
     }
     HT_TOC(c_kappa);
     if (std::abs(ku) > kappa || std::abs(kl) > kappa) {
@@ -1208,9 +1282,12 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       if (prof2) n_kept += kept;
       HT_TOC2(c_drop);
       HT_TIC2();
+      // issue ALL head-slot prefetches upfront: each insert is one random
+      // RMW; at ~250 ns DRAM an 8-ahead inline prefetch is far too shallow,
+      // while a full sweep lets the fill buffers overlap the whole batch
+      for (i64 k = 0; k < kept; ++k)
+        __builtin_prefetch(&cols_of_U.head[keep[k].id], 1, 3);
       for (i64 k = 0; k < kept; ++k) {
-        if (k + 8 < kept)
-          __builtin_prefetch(&cols_of_U.head[keep[k + 8].id], 1, 1);
         const i32 c = keep[k].id;
         const VT v = keep[k].val;
         Uids.push_back(c);
@@ -1237,9 +1314,9 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       for (i64 k = 0; k < kept; ++k)
         tail_of_L.add(step, keep[k].id, keep[k].val);
     } else {
+      for (i64 k = 0; k < kept; ++k)
+        __builtin_prefetch(&rows_of_L.head[keep[k].id], 1, 3);
       for (i64 k = 0; k < kept; ++k) {
-        if (k + 8 < kept)
-          __builtin_prefetch(&rows_of_L.head[keep[k + 8].id], 1, 1);
         Lids.push_back(keep[k].id);
         Lvals.push_back(keep[k].val);
         rows_of_L.add(keep[k].id, (i32)step, keep[k].val);

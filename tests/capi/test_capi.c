@@ -158,6 +158,68 @@ int main(void) {
     check("lhfsDestroyMatrix", lhfsDestroyMatrix(As) == LHF_SUCCESS);
   }
 
+  /* complex double (z): interleaved re/im; Hermitian-ish tridiagonal */
+  {
+    static LhfIndPtr zp[N + 1];
+    static LhfInt zi[3 * N];
+    static double zv[6 * N]; /* interleaved */
+    static double zb[2 * N], zx[2 * N], zy[2 * N];
+    LhfIndPtr nz = 0;
+    for (i = 0; i < N; ++i) {
+      zp[i] = nz;
+      if (i > 0) {
+        zi[nz] = i - 1;
+        zv[2 * nz] = -1.0;
+        zv[2 * nz + 1] = -0.3;
+        ++nz;
+      }
+      zi[nz] = i;
+      zv[2 * nz] = 4.0 + 0.01 * i;
+      zv[2 * nz + 1] = 0.0;
+      ++nz;
+      if (i < N - 1) {
+        zi[nz] = i + 1;
+        zv[2 * nz] = -1.0;
+        zv[2 * nz + 1] = 0.3;
+        ++nz;
+      }
+    }
+    zp[N] = nz;
+    for (i = 0; i < N; ++i) {
+      zb[2 * i] = 1.0 + 0.1 * i;
+      zb[2 * i + 1] = 0.2 - 0.05 * i;
+    }
+    LhfzMatrixHdl Az = lhfzCreateMatrix(1, N, zp, zi, zv);
+    LhfzHifHdl Mz = lhfzCreate(Az, NULL, params);
+    check("lhfzCreate+setup", Mz != NULL && lhfzGetLevels(Mz) >= 1);
+    check("lhfzSolve", lhfzSolve(Mz, zb, zx) == LHF_SUCCESS);
+    /* verify A z = b in complex arithmetic */
+    {
+      double num = 0.0, den = 1e-300;
+      for (i = 0; i < N; ++i) {
+        double re = 0.0, im = 0.0;
+        LhfIndPtr k;
+        for (k = zp[i]; k < zp[i + 1]; ++k) {
+          const double ar = zv[2 * k], ai = zv[2 * k + 1];
+          const double xr = zx[2 * zi[k]], xi = zx[2 * zi[k] + 1];
+          re += ar * xr - ai * xi;
+          im += ar * xi + ai * xr;
+        }
+        zy[2 * i] = re;
+        zy[2 * i + 1] = im;
+        num += (re - zb[2 * i]) * (re - zb[2 * i]) +
+               (im - zb[2 * i + 1]) * (im - zb[2 * i + 1]);
+        den += zb[2 * i] * zb[2 * i] + zb[2 * i + 1] * zb[2 * i + 1];
+      }
+      check("z solve residual", sqrt(num / den) < 1e-6);
+    }
+    check("lhfzApply(MH) runs",
+          lhfzApply(Mz, LHF_MH, zb, 1, NULL, LHF_DEFAULT_RANK, zy, NULL) ==
+              LHF_SUCCESS);
+    check("lhfzDestroy", lhfzDestroy(Mz) == LHF_SUCCESS);
+    check("lhfzDestroyMatrix", lhfzDestroyMatrix(Az) == LHF_SUCCESS);
+  }
+
   check("lhfdDestroy", lhfdDestroy(M) == LHF_SUCCESS);
   check("lhfdDestroyMatrix", lhfdDestroyMatrix(A) == LHF_SUCCESS);
 
