@@ -184,7 +184,7 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     q_inv_ids = np.empty(n, dtype=np.int64)
     q_inv_ids[q] = np.arange(n)
     trip = (_nat.permute_scale(A, s, t, p, q_inv_ids)
-            if A.data.dtype == np.float64 else None)
+            if A.data.dtype in (np.float64, np.float32) else None)
     if trip is not None:
         Ahat = CSR(n, n, *trip)
         Ahat_s = None
@@ -193,6 +193,10 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         Ahat_s = (sp.diags(s) @ S_scipy @ sp.diags(t)
                   ).tocsr()[p, :][:, q].tocsr()
         Ahat_s.sort_indices()
+        if Ahat_s.data.dtype != A.data.dtype:
+            # the f64 diag scalings upcast single-precision values; the
+            # level matrix keeps the working precision
+            Ahat_s.data = Ahat_s.data.astype(A.data.dtype)
         Ahat = CSR(n, n, Ahat_s.indptr.astype(np.int64), Ahat_s.indices,
                    Ahat_s.data)
     d0 = Ahat.diagonal()[:m2] if m2 else np.empty(0, dtype=A.dtype)
@@ -213,13 +217,11 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     use_pivot = force_pivot or opts.pivot == PIVOTING_ON
     # dist_schur needs the anchor branch (the native kernel fuses the Schur)
     use_native = (not use_pivot and opts.use_native and not opts.dist_schur
-                  and ((Ahat.data.dtype == np.float64 and _native.has_crout())
-                       or (Ahat.data.dtype == np.complex128
-                           and _native.has_crout_z())))
+                  and _native.has_crout_dtype(Ahat.data.dtype))
     S_native = None
     EF_native = None
-    native_pivot_ok = (opts.use_native and _native.has_pivot()
-                       and Ahat.data.dtype in (np.float64, np.complex128))
+    native_pivot_ok = (opts.use_native
+                       and _native.has_pivot_dtype(Ahat.data.dtype))
     if use_pivot and native_pivot_ok:
         pars = determine_fac_pars(opts, level)
         (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,
@@ -248,7 +250,7 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         # taken only when the user declares a symmetric leading block with
         # m0 > 0 at level 1); 0 = general LDU
         if bool(opts.is_symm):
-            symm_kernel = 1 if Ahat.data.dtype == np.float64 else 0
+            symm_kernel = 0 if np.iscomplexobj(Ahat.data) else 1
         else:
             symm_kernel = 2 if sym_block else 0
         (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,

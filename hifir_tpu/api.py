@@ -107,6 +107,24 @@ class HIF:
                       "got %d for n=%d" % (m0, A.nrows))
         self.clear()
         self._nrows, self._ncols = A.nrows, A.ncols
+        # native single-precision factorization (the reference's HIF<float>
+        # / HIF<complex<float>> instantiations, builder.hpp:109,589): the
+        # whole level pipeline runs on f32/c64 operands -- the Crout/Schur
+        # kernels are instantiated natively for s/c -- not a post-factorize
+        # storage cast.  Matching/ordering decisions stay f64 inside
+        # preprocessing (they consume magnitudes only).
+        if opts.dtype == "float32":
+            want = (np.complex64 if np.iscomplexobj(A.data) else np.float32)
+            if A.data.dtype != want:
+                A = CSR(A.nrows, A.ncols, A.indptr, A.indices,
+                        A.data.astype(want))
+        elif opts.dtype == "float64" and A.data.dtype in (np.float32,
+                                                          np.complex64):
+            # explicit f64 request upcasts single-precision input
+            want = (np.complex128 if np.iscomplexobj(A.data)
+                    else np.float64)
+            A = CSR(A.nrows, A.ncols, A.indptr, A.indices,
+                    A.data.astype(want))
 
         t = Timer().start()
         n_first = A.nrows
@@ -126,11 +144,13 @@ class HIF:
                 sym_block=(level == 1 and m0 > 0))
             self.precs.append(prec)
             level += 1
-        # single-precision storage mode (opts.dtype)
-        if opts.dtype == "float32" and np.issubdtype(
-                self.precs[0].d.dtype if self.precs[0].m else np.float64,
-                np.floating):
-            self.precs = [p.astype(np.float32) for p in self.precs]
+        # uniform single-precision level payload: the factors already come
+        # out f32/c64 from the native s/c kernels; this also narrows the
+        # f64 preprocessing scalings s/t (the reference's HIF<float> stores
+        # everything in float)
+        if opts.dtype == "float32":
+            want = (np.complex64 if np.iscomplexobj(A.data) else np.float32)
+            self.precs = [p.astype(want) for p in self.precs]
         # factor the dense tail if present (ref factor.hpp:1284-1296)
         last = self.precs[-1]
         if last.dense_matrix is not None:

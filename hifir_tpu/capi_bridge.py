@@ -90,14 +90,9 @@ def _matrix_from_ptrs(n: int, indptr_addr: int, indices_addr: int,
     indptr = _view(indptr_addr, n + 1, np.int64).copy()
     indices = _view(indices_addr, nnz, np.int32).copy()
     vals = _view(vals_addr, nnz, _DTYPES[dtype_code]).copy()
-    # factorization works in f64/c128 (the host kernels' precision); single
-    # precision is a *storage* mode applied after factorize (opts.dtype),
-    # mirroring the reference mixed-precision input conversion
-    # (builder.hpp:332-343)
-    if vals.dtype == np.float32:
-        vals = vals.astype(np.float64)
-    elif vals.dtype == np.complex64:
-        vals = vals.astype(np.complex128)
+    # single-precision handles (lhfs*/lhfc*) keep their native dtype end to
+    # end: the host Crout/Schur kernels are instantiated for s/c (the
+    # reference's HIF<float>, builder.hpp:589 + libhifir.cpp:595+)
     import scipy.sparse as sp
     if is_rowmajor:
         A = sp.csr_matrix((vals, indices, indptr), shape=(n, n))

@@ -263,8 +263,9 @@ class CSR:
         kernel when available; Python loop fallback otherwise."""
         from ..pre import _native
 
-        if self.data.dtype == np.float64 and not np.iscomplexobj(b):
-            x = _native.trsv(self, np.asarray(b, dtype=np.float64), True)
+        if (self.data.dtype in (np.float64, np.float32)
+                and not np.iscomplexobj(b)):
+            x = _native.trsv(self, np.asarray(b, dtype=self.data.dtype), True)
             if x is not None:
                 return x
         x = np.array(b, copy=True)
@@ -280,8 +281,10 @@ class CSR:
         """Solve (I + strict_upper(A)) x = b (ref ``:1451``)."""
         from ..pre import _native
 
-        if self.data.dtype == np.float64 and not np.iscomplexobj(b):
-            x = _native.trsv(self, np.asarray(b, dtype=np.float64), False)
+        if (self.data.dtype in (np.float64, np.float32)
+                and not np.iscomplexobj(b)):
+            x = _native.trsv(self, np.asarray(b, dtype=self.data.dtype),
+                             False)
             if x is not None:
                 return x
         x = np.array(b, copy=True)

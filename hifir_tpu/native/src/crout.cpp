@@ -41,15 +41,27 @@ struct Adj {
   }
 };
 
+// value-type tag for the C accessor dispatch (the reference instantiates
+// HIF over d/z/s/c the same way, builder.hpp:109,589)
+template <class VT> struct DtypeCode;
+template <> struct DtypeCode<double> { static const int value = 0; };
+template <> struct DtypeCode<std::complex<double>> {
+  static const int value = 1;
+};
+template <> struct DtypeCode<float> { static const int value = 2; };
+template <> struct DtypeCode<std::complex<float>> {
+  static const int value = 3;
+};
+
 // common initial layout for type dispatch in the C accessors
 struct ResHead {
-  int is_complex;
+  int dtype;  // DtypeCode of the value type
   i64 n, m;
 };
 
 template <class VT>
 struct Result {
-  int is_complex = std::is_same<VT, std::complex<double>>::value;
+  int dtype = DtypeCode<VT>::value;
   i64 n = 0, m = 0;
   // L_B (m x m CSR strict lower), U_B (m x m CSR strict upper), S ((n-m)^2),
   // E ((n-m) x m) and F (m x (n-m)) blocks of the permuted scaled matrix
@@ -1683,6 +1695,19 @@ template void *crout_core<std::complex<double>>(
     i64, i64, const i64 *, const i32 *, const std::complex<double> *,
     const std::complex<double> *, double, double, double, double, double,
     double, const i64 *, const i64 *, double, double, int);
+// native single-precision kernels (the reference's HIF<float> /
+// HIF<complex<float>> instantiations, builder.hpp:109,589 and
+// libhifir lhfs*/lhfc*, libhifir.cpp:595+): half the memory traffic of
+// the miss-bound Crout loop, no f64 upcast anywhere
+template void *crout_core<float>(i64, i64, const i64 *, const i32 *,
+                                 const float *, const float *, double,
+                                 double, double, double, double, double,
+                                 const i64 *, const i64 *, double, double,
+                                 int);
+template void *crout_core<std::complex<float>>(
+    i64, i64, const i64 *, const i32 *, const std::complex<float> *,
+    const std::complex<float> *, double, double, double, double, double,
+    double, const i64 *, const i64 *, double, double, int);
 
 }  // namespace
 
@@ -1718,6 +1743,52 @@ HT_API void *ht_crout_pivot_z(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       tau_U, alpha_L, alpha_U, row_ref, col_ref, schur_aL, schur_aU, gamma);
 }
 
+HT_API void *ht_crout_s(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                        const float *Av, const float *d0, double kappa_d,
+                        double kappa, double tau_L, double tau_U,
+                        double alpha_L, double alpha_U, const i64 *row_ref,
+                        const i64 *col_ref, double schur_aL, double schur_aU,
+                        int symmetric) {
+  return crout_core<float>(n, m2, Ap, Ai, Av, d0, kappa_d, kappa, tau_L,
+                           tau_U, alpha_L, alpha_U, row_ref, col_ref,
+                           schur_aL, schur_aU, symmetric);
+}
+
+// complex64 arrays passed as interleaved float pairs
+HT_API void *ht_crout_c(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                        const float *Av, const float *d0, double kappa_d,
+                        double kappa, double tau_L, double tau_U,
+                        double alpha_L, double alpha_U, const i64 *row_ref,
+                        const i64 *col_ref, double schur_aL, double schur_aU,
+                        int symmetric) {
+  return crout_core<std::complex<float>>(
+      n, m2, Ap, Ai, (const std::complex<float> *)Av,
+      (const std::complex<float> *)d0, kappa_d, kappa, tau_L, tau_U,
+      alpha_L, alpha_U, row_ref, col_ref, schur_aL, schur_aU, symmetric);
+}
+
+HT_API void *ht_crout_pivot_s(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                              const float *Av, double kappa_d, double kappa,
+                              double tau_L, double tau_U, double alpha_L,
+                              double alpha_U, const i64 *row_ref,
+                              const i64 *col_ref, double schur_aL,
+                              double schur_aU, double gamma) {
+  return pivot_crout_core<float>(n, m2, Ap, Ai, Av, kappa_d, kappa, tau_L,
+                                 tau_U, alpha_L, alpha_U, row_ref, col_ref,
+                                 schur_aL, schur_aU, gamma);
+}
+
+HT_API void *ht_crout_pivot_c(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
+                              const float *Av, double kappa_d, double kappa,
+                              double tau_L, double tau_U, double alpha_L,
+                              double alpha_U, const i64 *row_ref,
+                              const i64 *col_ref, double schur_aL,
+                              double schur_aU, double gamma) {
+  return pivot_crout_core<std::complex<float>>(
+      n, m2, Ap, Ai, (const std::complex<float> *)Av, kappa_d, kappa, tau_L,
+      tau_U, alpha_L, alpha_U, row_ref, col_ref, schur_aL, schur_aU, gamma);
+}
+
 // complex128 arrays passed as interleaved double pairs
 HT_API void *ht_crout_z(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
                         const double *Av, const double *d0, double kappa_d,
@@ -1733,111 +1804,97 @@ HT_API void *ht_crout_z(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
 
 // ---- result accessors (type-dispatched via the common ResHead prefix) ----
 namespace {
-template <class VT, class F>
-auto with_res(void *h, F f) {
-  return f(*(Result<VT> *)h);
+// 4-way dtype dispatch: invokes f on the concrete Result<VT>*
+template <class F>
+auto res_dispatch(void *h, F f) {
+  switch (((ResHead *)h)->dtype) {
+    case 1: return f((Result<std::complex<double>> *)h);
+    case 2: return f((Result<float>*)h);
+    case 3: return f((Result<std::complex<float>> *)h);
+    default: return f((Result<double> *)h);
+  }
 }
-inline bool res_cplx(void *h) { return ((ResHead *)h)->is_complex != 0; }
 }  // namespace
 
 HT_API i64 ht_res_m(void *h) { return ((ResHead *)h)->m; }
-HT_API int ht_res_is_complex(void *h) { return res_cplx(h); }
-
-template <class VT>
-static i64 res_nnz_t(void *h, int what) {
-  auto *r = (Result<VT> *)h;
-  switch (what) {
-    case 0: return (i64)r->Li.size();
-    case 1: return (i64)r->Ui.size();
-    case 2: return (i64)r->Si.size();
-    case 3: return (i64)r->Ei.size();
-    case 4: return (i64)r->Fi.size();
-  }
-  return -1;
+HT_API int ht_res_is_complex(void *h) {
+  const int d = ((ResHead *)h)->dtype;
+  return d == 1 || d == 3;
 }
-HT_API i64 ht_res_nnz(void *h, int what) {
-  return res_cplx(h) ? res_nnz_t<std::complex<double>>(h, what)
-                     : res_nnz_t<double>(h, what);
-}
+HT_API int ht_res_dtype(void *h) { return ((ResHead *)h)->dtype; }
 
+namespace {
 template <class VT>
-static void res_copy_mat_t(void *h, int what, i64 *indptr, i32 *indices,
-                           VT *vals) {
-  auto *r = (Result<VT> *)h;
-  const std::vector<i64> *p;
-  const std::vector<i32> *i;
-  const std::vector<VT> *v;
+void res_pick(Result<VT> *r, int what, const std::vector<i64> *&p,
+              const std::vector<i32> *&i, const std::vector<VT> *&v) {
   if (what == 0) { p = &r->Lp; i = &r->Li; v = &r->Lv; }
   else if (what == 1) { p = &r->Up; i = &r->Ui; v = &r->Uv; }
   else if (what == 2) { p = &r->Sp; i = &r->Si; v = &r->Sv; }
   else if (what == 3) { p = &r->Ep; i = &r->Ei; v = &r->Ev; }
   else { p = &r->Fp; i = &r->Fi; v = &r->Fv; }
-  std::memcpy(indptr, p->data(), p->size() * sizeof(i64));
-  if (!i->empty()) std::memcpy(indices, i->data(), i->size() * sizeof(i32));
-  if (!v->empty()) std::memcpy(vals, v->data(), v->size() * sizeof(VT));
 }
+}  // namespace
+
+HT_API i64 ht_res_nnz(void *h, int what) {
+  return res_dispatch(h, [what](auto *r) -> i64 {
+    switch (what) {
+      case 0: return (i64)r->Li.size();
+      case 1: return (i64)r->Ui.size();
+      case 2: return (i64)r->Si.size();
+      case 3: return (i64)r->Ei.size();
+      case 4: return (i64)r->Fi.size();
+    }
+    return -1;
+  });
+}
+
+// `vals` is an opaque buffer of the handle's value type
 HT_API void ht_res_copy_mat(void *h, int what, i64 *indptr, i32 *indices,
-                            double *vals) {
-  if (res_cplx(h))
-    res_copy_mat_t<std::complex<double>>(h, what, indptr, indices,
-                                         (std::complex<double> *)vals);
-  else
-    res_copy_mat_t<double>(h, what, indptr, indices, vals);
+                            void *vals) {
+  res_dispatch(h, [&](auto *r) {
+    using VT = typename std::remove_reference<decltype(r->Lv)>::type
+        ::value_type;
+    const std::vector<i64> *p; const std::vector<i32> *i;
+    const std::vector<VT> *v;
+    res_pick(r, what, p, i, v);
+    std::memcpy(indptr, p->data(), p->size() * sizeof(i64));
+    if (!i->empty()) std::memcpy(indices, i->data(), i->size() * sizeof(i32));
+    if (!v->empty()) std::memcpy(vals, v->data(), v->size() * sizeof(VT));
+  });
 }
 
 // raw pointers into the result vectors (zero-copy export; the Python side
 // keeps the handle alive for the lifetime of the wrapping arrays)
-template <class VT>
-static void res_ptrs_t(void *h, int what, void **pp, void **pi, void **pv) {
-  auto *r = (Result<VT> *)h;
-  const std::vector<i64> *p;
-  const std::vector<i32> *i;
-  const std::vector<VT> *v;
-  if (what == 0) { p = &r->Lp; i = &r->Li; v = &r->Lv; }
-  else if (what == 1) { p = &r->Up; i = &r->Ui; v = &r->Uv; }
-  else if (what == 2) { p = &r->Sp; i = &r->Si; v = &r->Sv; }
-  else if (what == 3) { p = &r->Ep; i = &r->Ei; v = &r->Ev; }
-  else { p = &r->Fp; i = &r->Fi; v = &r->Fv; }
-  *pp = (void *)p->data();
-  *pi = (void *)i->data();
-  *pv = (void *)v->data();
-}
 HT_API void ht_res_ptrs(void *h, int what, void **pp, void **pi, void **pv) {
-  if (res_cplx(h))
-    res_ptrs_t<std::complex<double>>(h, what, pp, pi, pv);
-  else
-    res_ptrs_t<double>(h, what, pp, pi, pv);
+  res_dispatch(h, [&](auto *r) {
+    using VT = typename std::remove_reference<decltype(r->Lv)>::type
+        ::value_type;
+    const std::vector<i64> *p; const std::vector<i32> *i;
+    const std::vector<VT> *v;
+    res_pick(r, what, p, i, v);
+    *pp = (void *)p->data();
+    *pi = (void *)i->data();
+    *pv = (void *)v->data();
+  });
 }
 
-HT_API void ht_res_copy_d(void *h, double *out) {
-  if (res_cplx(h)) {
-    auto *r = (Result<std::complex<double>> *)h;
-    std::memcpy(out, r->d.data(),
-                r->d.size() * sizeof(std::complex<double>));
-  } else {
-    auto *r = (Result<double> *)h;
-    std::memcpy(out, r->d.data(), r->d.size() * sizeof(double));
-  }
+HT_API void ht_res_copy_d(void *h, void *out) {
+  res_dispatch(h, [out](auto *r) {
+    using VT = typename std::remove_reference<decltype(r->d)>::type
+        ::value_type;
+    std::memcpy(out, r->d.data(), r->d.size() * sizeof(VT));
+  });
 }
 HT_API void ht_res_copy_ord(void *h, i64 *out) {
-  if (res_cplx(h)) {
-    auto *r = (Result<std::complex<double>> *)h;
+  res_dispatch(h, [out](auto *r) {
     std::memcpy(out, r->ord.data(), r->ord.size() * sizeof(i64));
-  } else {
-    auto *r = (Result<double> *)h;
-    std::memcpy(out, r->ord.data(), r->ord.size() * sizeof(i64));
-  }
+  });
 }
 HT_API void ht_res_copy_stats(void *h, i64 *out) {
-  if (res_cplx(h)) {
-    auto *r = (Result<std::complex<double>> *)h;
+  res_dispatch(h, [out](auto *r) {
     std::memcpy(out, r->stats, 6 * sizeof(i64));
-  } else {
-    auto *r = (Result<double> *)h;
-    std::memcpy(out, r->stats, 6 * sizeof(i64));
-  }
+  });
 }
 HT_API void ht_res_free(void *h) {
-  if (res_cplx(h)) delete (Result<std::complex<double>> *)h;
-  else delete (Result<double> *)h;
+  res_dispatch(h, [](auto *r) { delete r; });
 }

@@ -7,10 +7,11 @@
 
 #include "common.hpp"
 
-HT_API void ht_permute_scale(i64 n, const i64 *Ap, const i32 *Ai,
-                             const double *Av, const double *s,
-                             const double *t, const i64 *p, const i64 *q_inv,
-                             i64 *Bp, i32 *Bi, double *Bv) {
+namespace {
+template <class VT>
+void permute_scale_t(i64 n, const i64 *Ap, const i32 *Ai, const VT *Av,
+                     const double *s, const double *t, const i64 *p,
+                     const i64 *q_inv, i64 *Bp, i32 *Bi, VT *Bv) {
   Bp[0] = 0;
   i64 w = 0;
   for (i64 i = 0; i < n; ++i) {
@@ -18,10 +19,28 @@ HT_API void ht_permute_scale(i64 n, const i64 *Ap, const i32 *Ai,
     const double sr = s[r];
     for (i64 k = Ap[r]; k < Ap[r + 1]; ++k, ++w) {
       Bi[w] = (i32)q_inv[Ai[k]];
-      Bv[w] = sr * Av[k] * t[Ai[k]];
+      // scale in f64, store in working precision (the s/t scalings from
+      // preprocessing are always f64)
+      Bv[w] = (VT)(sr * (double)Av[k] * t[Ai[k]]);
     }
     Bp[i + 1] = w;
   }
+}
+}  // namespace
+
+HT_API void ht_permute_scale(i64 n, const i64 *Ap, const i32 *Ai,
+                             const double *Av, const double *s,
+                             const double *t, const i64 *p, const i64 *q_inv,
+                             i64 *Bp, i32 *Bi, double *Bv) {
+  permute_scale_t<double>(n, Ap, Ai, Av, s, t, p, q_inv, Bp, Bi, Bv);
+}
+
+HT_API void ht_permute_scale_s(i64 n, const i64 *Ap, const i32 *Ai,
+                               const float *Av, const double *s,
+                               const double *t, const i64 *p,
+                               const i64 *q_inv, i64 *Bp, i32 *Bi,
+                               float *Bv) {
+  permute_scale_t<float>(n, Ap, Ai, Av, s, t, p, q_inv, Bp, Bi, Bv);
 }
 
 // counting CSR -> CSC transpose (columns sorted by construction); MC64 and

@@ -21,6 +21,7 @@ _TRIED = False
 _I64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 _I32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _F64 = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_F32 = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
 
 
 def _bind(lib: ctypes.CDLL, name: str, restype, argtypes) -> bool:
@@ -55,22 +56,31 @@ def _load() -> Optional[ctypes.CDLL]:
                  ctypes.c_double, ctypes.c_double, ctypes.c_double,
                  ctypes.c_double, ctypes.c_double, ctypes.c_double,
                  _I64, _I64, ctypes.c_double, ctypes.c_double, ctypes.c_int]
+    crout_sig_s = ([c, c, _I64, _I32, _F32, _F32] + crout_sig[6:])
     lib._has_crout = _bind(lib, "ht_crout", ctypes.c_void_p, crout_sig)
     lib._has_crout_z = _bind(lib, "ht_crout_z", ctypes.c_void_p, crout_sig)
+    lib._has_crout_s = _bind(lib, "ht_crout_s", ctypes.c_void_p, crout_sig_s)
+    lib._has_crout_c = _bind(lib, "ht_crout_c", ctypes.c_void_p, crout_sig_s)
     pivot_sig = [c, c, _I64, _I32, _F64,
                  ctypes.c_double, ctypes.c_double, ctypes.c_double,
                  ctypes.c_double, ctypes.c_double, ctypes.c_double,
                  _I64, _I64, ctypes.c_double, ctypes.c_double,
                  ctypes.c_double]
+    pivot_sig_s = [c, c, _I64, _I32, _F32] + pivot_sig[5:]
     lib._has_pivot = _bind(lib, "ht_crout_pivot", ctypes.c_void_p, pivot_sig)
     lib._has_pivot_z = _bind(lib, "ht_crout_pivot_z", ctypes.c_void_p,
                              pivot_sig)
+    lib._has_pivot_s = _bind(lib, "ht_crout_pivot_s", ctypes.c_void_p,
+                             pivot_sig_s)
+    lib._has_pivot_c = _bind(lib, "ht_crout_pivot_c", ctypes.c_void_p,
+                             pivot_sig_s)
     if lib._has_crout:
         _bind(lib, "ht_res_m", c, [ctypes.c_void_p])
         _bind(lib, "ht_res_nnz", c, [ctypes.c_void_p, ctypes.c_int])
+        # vals buffer is typed by the handle's dtype -> opaque pointer
         _bind(lib, "ht_res_copy_mat", None,
-              [ctypes.c_void_p, ctypes.c_int, _I64, _I32, _F64])
-        _bind(lib, "ht_res_copy_d", None, [ctypes.c_void_p, _F64])
+              [ctypes.c_void_p, ctypes.c_int, _I64, _I32, ctypes.c_void_p])
+        _bind(lib, "ht_res_copy_d", None, [ctypes.c_void_p, ctypes.c_void_p])
         _bind(lib, "ht_res_copy_ord", None, [ctypes.c_void_p, _I64])
         _bind(lib, "ht_res_copy_stats", None, [ctypes.c_void_p, _I64])
         _bind(lib, "ht_res_free", None, [ctypes.c_void_p])
@@ -85,6 +95,15 @@ def _load() -> Optional[ctypes.CDLL]:
         _bind(lib, "ht_trsv_lower_mrhs", None, [c, _I64, _I32, _F64, _F64, c])
         and
         _bind(lib, "ht_trsv_upper_mrhs", None, [c, _I64, _I32, _F64, _F64, c]))
+    lib._has_trsv_s = (
+        _bind(lib, "ht_trsv_lower_s", None, [c, _I64, _I32, _F32, _F32]) and
+        _bind(lib, "ht_trsv_upper_s", None, [c, _I64, _I32, _F32, _F32]))
+    lib._has_trsv_mrhs_s = (
+        _bind(lib, "ht_trsv_lower_mrhs_s", None,
+              [c, _I64, _I32, _F32, _F32, c])
+        and
+        _bind(lib, "ht_trsv_upper_mrhs_s", None,
+              [c, _I64, _I32, _F32, _F32, c]))
     if not ok:
         return None
     _LIB = lib
@@ -103,6 +122,41 @@ def has_crout() -> bool:
 def has_crout_z() -> bool:
     lib = _load()
     return bool(lib is not None and getattr(lib, "_has_crout_z", False))
+
+
+# numpy dtype -> (crout symbol attr, pivot symbol attr, scalar view dtype)
+_DT_DISPATCH = {
+    np.dtype(np.float64): ("ht_crout", "ht_crout_pivot", np.float64),
+    np.dtype(np.complex128): ("ht_crout_z", "ht_crout_pivot_z", np.float64),
+    np.dtype(np.float32): ("ht_crout_s", "ht_crout_pivot_s", np.float32),
+    np.dtype(np.complex64): ("ht_crout_c", "ht_crout_pivot_c", np.float32),
+}
+
+
+def has_crout_dtype(dtype) -> bool:
+    """Whether a native Crout kernel exists for this value dtype."""
+    lib = _load()
+    if lib is None:
+        return False
+    ent = _DT_DISPATCH.get(np.dtype(dtype))
+    if ent is None:
+        return False
+    flag = "_has_" + ent[0][3:]   # ht_crout_s -> _has_crout_s
+    return bool(getattr(lib, flag, False))
+
+
+def has_pivot_dtype(dtype) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    ent = _DT_DISPATCH.get(np.dtype(dtype))
+    if ent is None:
+        return False
+    flag = {"ht_crout_pivot": "_has_pivot",
+            "ht_crout_pivot_z": "_has_pivot_z",
+            "ht_crout_pivot_s": "_has_pivot_s",
+            "ht_crout_pivot_c": "_has_pivot_c"}[ent[1]]
+    return bool(getattr(lib, flag, False))
 
 
 class _ResultHandle:
@@ -174,11 +228,13 @@ def mc64(B) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     :func:`hifir_tpu.pre.matching.mc64_matching`."""
     lib = _load()
     n = B.nrows
-    if np.iscomplexobj(B.data):
+    if np.iscomplexobj(B.data) or B.data.dtype != np.float64:
+        # matching runs on f64 magnitudes regardless of working precision
         AT = B.tocsc()
-        ATp, ATi, ATv = (AT.indptr, AT.indices,
-                         np.ascontiguousarray(np.abs(AT.data),
-                                              dtype=np.float64))
+        ATp, ATi = AT.indptr, AT.indices
+        ATv = (np.ascontiguousarray(np.abs(AT.data), dtype=np.float64)
+               if np.iscomplexobj(B.data)
+               else np.ascontiguousarray(AT.data, dtype=np.float64))
     else:
         # matching needs the CSC view but not sorted columns: the native
         # counting transpose skips scipy's comparison sorts
@@ -240,16 +296,16 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
     lib = _load()
     kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = pars
     n = Ahat.nrows
-    cplx = np.iscomplexobj(Ahat.data)
-    vdt = np.complex128 if cplx else np.float64
+    vdt = np.dtype(Ahat.data.dtype)
+    sym, _, scal = _DT_DISPATCH[vdt]
 
-    def _as_f64(a):
+    def _as_scal(a):
         a = np.ascontiguousarray(a, dtype=vdt)
-        return a.view(np.float64)
+        return a.view(scal)
 
-    fn = lib.ht_crout_z if cplx else lib.ht_crout
-    h = fn(n, m2, Ahat.indptr, Ahat.indices, _as_f64(Ahat.data),
-           _as_f64(np.asarray(d0, dtype=vdt)),
+    fn = getattr(lib, sym)
+    h = fn(n, m2, Ahat.indptr, Ahat.indices, _as_scal(Ahat.data),
+           _as_scal(np.asarray(d0, dtype=vdt)),
            kappa_d, kappa, tau_L, tau_U, alpha_L, alpha_U,
            np.ascontiguousarray(row_ref, dtype=np.int64),
            np.ascontiguousarray(col_ref, dtype=np.int64),
@@ -281,7 +337,7 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
     F = _mat(4, m)
     d = np.empty(m, dtype=vdt)
     if m:
-        lib.ht_res_copy_d(h, d.view(np.float64))
+        lib.ht_res_copy_d(h, d.ctypes.data_as(ctypes.c_void_p))
     # ord holds row and column orderings back to back (they coincide
     # for the non-pivoting kernel)
     ordf = np.empty(2 * n, dtype=np.int64)
@@ -299,20 +355,33 @@ def trsv(M, b: np.ndarray, lower: bool) -> Optional[np.ndarray]:
     ``b`` may be (n,) or a row-major (n, k) multi-RHS block (the latter maps
     to the dedicated mrhs kernels, ref CompressedStorage.hpp:1382-1518)."""
     lib = _load()
-    if (lib is None or not getattr(lib, "_has_trsv", False)
-            or M.data.dtype != np.float64 or b.dtype != np.float64):
+    if lib is None or M.data.dtype != b.dtype:
         return None
-    x = np.ascontiguousarray(b, dtype=np.float64).copy()
+    vdt = M.data.dtype
+    if vdt == np.float64:
+        ok1 = getattr(lib, "_has_trsv", False)
+        okm = getattr(lib, "_has_trsv_mrhs", False)
+        suffix = ""
+    elif vdt == np.float32:
+        ok1 = getattr(lib, "_has_trsv_s", False)
+        okm = getattr(lib, "_has_trsv_mrhs_s", False)
+        suffix = "_s"
+    else:
+        return None
+    x = np.ascontiguousarray(b, dtype=vdt).copy()
+    tri = "lower" if lower else "upper"
     if b.ndim == 2:
-        if not getattr(lib, "_has_trsv_mrhs", False):
+        if not okm:
             return None
-        fn = lib.ht_trsv_lower_mrhs if lower else lib.ht_trsv_upper_mrhs
+        fn = getattr(lib, f"ht_trsv_{tri}_mrhs{suffix}")
         fn(M.nrows, M.indptr, M.indices,
-           np.ascontiguousarray(M.data, dtype=np.float64), x, x.shape[1])
+           np.ascontiguousarray(M.data, dtype=vdt), x, x.shape[1])
         return x
-    fn = lib.ht_trsv_lower if lower else lib.ht_trsv_upper
+    if not ok1:
+        return None
+    fn = getattr(lib, f"ht_trsv_{tri}{suffix}")
     fn(M.nrows, M.indptr, M.indices,
-       np.ascontiguousarray(M.data, dtype=np.float64), x)
+       np.ascontiguousarray(M.data, dtype=vdt), x)
     return x
 
 
@@ -340,26 +409,32 @@ def permute_scale(A, s: np.ndarray, t: np.ndarray, p: np.ndarray,
     """Native Ahat = (diag(s) A diag(t))[p, q] with sorted rows; None if
     unavailable."""
     lib = _load()
-    if lib is None or A.data.dtype != np.float64:
+    if lib is None or A.data.dtype not in (np.float64, np.float32):
         return None
+    f32 = A.data.dtype == np.float32
     if not hasattr(lib, "_has_permute"):
         lib._has_permute = _bind(
             lib, "ht_permute_scale", None,
             [ctypes.c_int64, _I64, _I32, _F64, _F64, _F64, _I64, _I64,
              _I64, _I32, _F64])
-    if not lib._has_permute:
+        lib._has_permute_s = _bind(
+            lib, "ht_permute_scale_s", None,
+            [ctypes.c_int64, _I64, _I32, _F32, _F64, _F64, _I64, _I64,
+             _I64, _I32, _F32])
+    if not lib._has_permute or (f32 and not lib._has_permute_s):
         return None
     n = A.nrows
+    vdt = np.float32 if f32 else np.float64
     Bp = np.empty(n + 1, dtype=np.int64)
     Bi = np.empty(A.nnz, dtype=np.int32)
-    Bv = np.empty(A.nnz, dtype=np.float64)
-    lib.ht_permute_scale(
-        n, A.indptr, A.indices,
-        np.ascontiguousarray(A.data, dtype=np.float64),
-        np.ascontiguousarray(s, dtype=np.float64),
-        np.ascontiguousarray(t, dtype=np.float64),
-        np.ascontiguousarray(p, dtype=np.int64),
-        np.ascontiguousarray(q_inv, dtype=np.int64), Bp, Bi, Bv)
+    Bv = np.empty(A.nnz, dtype=vdt)
+    fn = lib.ht_permute_scale_s if f32 else lib.ht_permute_scale
+    fn(n, A.indptr, A.indices,
+       np.ascontiguousarray(A.data, dtype=vdt),
+       np.ascontiguousarray(s, dtype=np.float64),
+       np.ascontiguousarray(t, dtype=np.float64),
+       np.ascontiguousarray(p, dtype=np.int64),
+       np.ascontiguousarray(q_inv, dtype=np.int64), Bp, Bi, Bv)
     return Bp, Bi, Bv
 
 
@@ -412,10 +487,10 @@ def crout_pivot(Ahat, m2: int, pars, row_ref, col_ref, schur_aL, schur_aU,
     lib = _load()
     kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = pars
     n = Ahat.nrows
-    cplx = np.iscomplexobj(Ahat.data)
-    vdt = np.complex128 if cplx else np.float64
-    data = np.ascontiguousarray(Ahat.data, dtype=vdt).view(np.float64)
-    fn = lib.ht_crout_pivot_z if cplx else lib.ht_crout_pivot
+    vdt = np.dtype(Ahat.data.dtype)
+    _, psym, scal = _DT_DISPATCH[vdt]
+    data = np.ascontiguousarray(Ahat.data, dtype=vdt).view(scal)
+    fn = getattr(lib, psym)
     h = fn(n, m2, Ahat.indptr, Ahat.indices, data,
            kappa_d, kappa, tau_L, tau_U, alpha_L, alpha_U,
            np.ascontiguousarray(row_ref, dtype=np.int64),
@@ -433,7 +508,7 @@ def crout_pivot(Ahat, m2: int, pars, row_ref, col_ref, schur_aL, schur_aU,
             indices = np.empty(max(nnz, 1), dtype=np.int32)
             vals = np.empty(max(nnz, 1), dtype=vdt)
             lib.ht_res_copy_mat(h, what, indptr, indices,
-                                vals.view(np.float64))
+                                vals.ctypes.data_as(ctypes.c_void_p))
             return indptr, indices[:nnz], vals[:nnz]
 
         L = _mat(0, m)
@@ -443,7 +518,7 @@ def crout_pivot(Ahat, m2: int, pars, row_ref, col_ref, schur_aL, schur_aU,
         F = _mat(4, m)
         d = np.empty(m, dtype=vdt)
         if m:
-            lib.ht_res_copy_d(h, d.view(np.float64))
+            lib.ht_res_copy_d(h, d.ctypes.data_as(ctypes.c_void_p))
         ordf = np.empty(2 * n, dtype=np.int64)
         lib.ht_res_copy_ord(h, ordf)
         ordf = ordf.reshape(2, n)
