@@ -125,7 +125,13 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         Per-id nnz references for space dropping: ``row_sizes[p[id]]`` and
         ``col_sizes[q[id]]`` in reference terms (ref factor.hpp:939,956).
     symm_mode:
-        0 = general LDU.  2 = pattern-symmetric *mirror* mode, matching the
+        0 = general LDU.  1 = LDLᵀ (``opts.is_symm``, real input): ut is
+        never computed — each U row is the mirror of the kept l column
+        (U = Lᵀ), ``kappa_u = kappa_l``, and the trailing diagonal update is
+        ``d[c] -= (l[c]/dk) * l[c]`` on the *unscaled* column (ref
+        ``factor.hpp:818-820,906-931`` for the ``IsSymm`` LDLᵀ variant; the
+        native kernel's mode 1 — this anchor is its spec).
+        2 = pattern-symmetric *mirror* mode, matching the
         reference's ``level_factorize<IsSymm=true>`` instantiation (used for
         levels <= 2 when the pattern is >= nzp_thres symmetric and q == p,
         s == t from symmetric preprocessing): only ut is computed; the
@@ -142,6 +148,7 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
     n = Ahat.nrows
     dtype = Ahat.data.dtype
     mirror = symm_mode == 2
+    ldlt = symm_mode == 1
     kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = determine_fac_pars(
         opts, level)
 
@@ -212,9 +219,14 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
                 _spill_mirror(idk)
             continue
         if step:
-            ku = _kappa_new(cols_of_U_j, cols_of_U_v, kappa_u, idk)
-            kl = ku if mirror else _kappa_new(rows_of_L_j, rows_of_L_v,
-                                              kappa_l, idk)
+            if ldlt:
+                # LDLᵀ: one kappa recurrence serves both sides
+                # (ref factor.hpp:818-820)
+                ku = kl = _kappa_new(rows_of_L_j, rows_of_L_v, kappa_l, idk)
+            else:
+                ku = _kappa_new(cols_of_U_j, cols_of_U_v, kappa_u, idk)
+                kl = ku if mirror else _kappa_new(rows_of_L_j, rows_of_L_v,
+                                                  kappa_l, idk)
         else:
             ku = kl = 1.0
         if abs(ku) > kappa or abs(kl) > kappa:
@@ -226,32 +238,34 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
             continue
 
         # --- accepted: compute ut = Ahat[idk, rest] - L[idk,:] D U[:, rest]
-        # (ref Crout.hpp:169) ---
+        # (ref Crout.hpp:169); skipped for LDLᵀ (U = Lᵀ) ---
         ut_list: List[int] = []
-        s_, e_ = Ahat.indptr[idk], Ahat.indptr[idk + 1]
-        for c, v in zip(Ahat.indices[s_:e_], Ahat.data[s_:e_]):
-            c = int(c)
-            if status[c] != _ACCEPTED and c != idk:
-                buf_u[c] = v
-                tag_u[c] = step
-                ut_list.append(c)
-        # in mirror mode L[idk, :] (leading row of a pending id) is the
-        # mirror of U[:, idk], so the adjacency to traverse is cols_of_U
-        row_adj_j = cols_of_U_j[idk] if mirror else rows_of_L_j[idk]
-        row_adj_v = cols_of_U_v[idk] if mirror else rows_of_L_v[idk]
-        # newest-first to match the native prepend-list walk (see _kappa_new)
-        for j, lkj in zip(reversed(row_adj_j), reversed(row_adj_v)):
-            ld = lkj * dvec[j]
-            for c, uv in zip(U_ids[j], U_vals[j]):
+        if not ldlt:
+            s_, e_ = Ahat.indptr[idk], Ahat.indptr[idk + 1]
+            for c, v in zip(Ahat.indices[s_:e_], Ahat.data[s_:e_]):
                 c = int(c)
-                if status[c] == _ACCEPTED or c == idk:
-                    continue
-                if tag_u[c] != step:
-                    buf_u[c] = -ld * uv
+                if status[c] != _ACCEPTED and c != idk:
+                    buf_u[c] = v
                     tag_u[c] = step
                     ut_list.append(c)
-                else:
-                    buf_u[c] -= ld * uv
+            # in mirror mode L[idk, :] (leading row of a pending id) is the
+            # mirror of U[:, idk], so the adjacency to traverse is cols_of_U
+            row_adj_j = cols_of_U_j[idk] if mirror else rows_of_L_j[idk]
+            row_adj_v = cols_of_U_v[idk] if mirror else rows_of_L_v[idk]
+            # newest-first to match the native prepend-list walk
+            # (see _kappa_new)
+            for j, lkj in zip(reversed(row_adj_j), reversed(row_adj_v)):
+                ld = lkj * dvec[j]
+                for c, uv in zip(U_ids[j], U_vals[j]):
+                    c = int(c)
+                    if status[c] == _ACCEPTED or c == idk:
+                        continue
+                    if tag_u[c] != step:
+                        buf_u[c] = -ld * uv
+                        tag_u[c] = step
+                        ut_list.append(c)
+                    else:
+                        buf_u[c] -= ld * uv
 
         # --- compute l = Ahat[rest, idk] - L[rest,:] D U[:, idk]
         # (ref Crout.hpp:271); mirror mode computes only the tail part
@@ -268,8 +282,11 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
             buf_l[r] = v
             tag_l[r] = step
             l_list.append(r)
-        for j, ujk in zip(reversed(cols_of_U_j[idk]),
-                          reversed(cols_of_U_v[idk])):
+        # LDLᵀ: U[:, idk] is the mirror of L[idk, :], so the adjacency to
+        # traverse is rows_of_L (the native mode-1 kernel does the same)
+        col_adj_j = rows_of_L_j[idk] if ldlt else cols_of_U_j[idk]
+        col_adj_v = rows_of_L_v[idk] if ldlt else cols_of_U_v[idk]
+        for j, ujk in zip(reversed(col_adj_j), reversed(col_adj_v)):
             du = dvec[j] * ujk
             tail_r = Ltail_r[j] if mirror else L_ids[j]
             tail_v = Ltail_v[j] if mirror else L_vals[j]
@@ -288,7 +305,13 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         # order per factor.hpp:906-931: scale ut, update diag, scale l) ---
         for c in ut_list:
             buf_u[c] /= dk
-        if mirror:
+        if ldlt:
+            # d[c] -= (l[c]/dk) * l[c] on the unscaled column, exactly the
+            # native mode-1 order (scale-one-factor then multiply)
+            for r in l_list:
+                if r < m2 and status[r] == _PENDING:
+                    d[r] -= (buf_l[r] / dk) * buf_l[r]
+        elif mirror:
             # d[c] -= dk * ut_scaled[c]^2 (ref update_diag<true>,
             # Crout.hpp:613-630; no conjugation — symmetric, not Hermitian)
             for c in ut_list:
@@ -332,11 +355,17 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         space_drops += ns
 
         # --- store and update adjacency ---
-        U_ids.append(ut_ids)
-        U_vals.append(ut_vals)
-        for c, v in zip(ut_ids, ut_vals):
-            cols_of_U_j[c].append(step)
-            cols_of_U_v[c].append(v)
+        if ldlt:
+            # U row = kept l entries (U = Lᵀ); cols_of_U is never traversed
+            # in this mode, so no adjacency update on the U side
+            U_ids.append(l_ids)
+            U_vals.append(l_vals)
+        else:
+            U_ids.append(ut_ids)
+            U_vals.append(ut_vals)
+            for c, v in zip(ut_ids, ut_vals):
+                cols_of_U_j[c].append(step)
+                cols_of_U_v[c].append(v)
         if mirror:
             Ltail_r.append(list(l_ids))
             Ltail_v.append(list(l_vals))

@@ -266,9 +266,14 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         S_native = CSR(n - m, n - m, *Strip)
         EF_native = (CSR(n - m, m, *Etrip), CSR(m, n - m, *Ftrip))
     else:
+        # same mode dispatch as the native branch above: is_symm + real ->
+        # LDLᵀ (mode 1); declared symmetric leading block -> mirror (mode 2)
+        if bool(opts.is_symm):
+            anchor_mode = 0 if np.iscomplexobj(Ahat.data) else 1
+        else:
+            anchor_mode = 2 if sym_block else 0
         res = crout_level_np(Ahat, d0, m2, level, opts, row_ref, col_ref,
-                             symm_mode=2 if (sym_block
-                                             and not opts.is_symm) else 0)
+                             symm_mode=anchor_mode)
     m = res.m
 
     # --- post-flag analysis (ref factor.hpp:1032-1050) ----------------------

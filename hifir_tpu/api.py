@@ -209,11 +209,13 @@ class HIF:
 
     def hifir(self, A, b: np.ndarray, N: int,
               betas: Optional[Tuple[float, float]] = None,
-              trans: bool = False, r: int = 0):
+              trans: bool = False, r: int = 0, boost: bool = False):
         """Apply M^{-1} with N-step iterative refinement
         (ref builder.hpp:459-505).  With ``betas`` returns ``(x, iters,
-        flag)``; otherwise just x."""
-        x, iters, flag = iter_refine(self, A, b, N, betas, trans, r)
+        flag)``; otherwise just x.  ``boost`` accumulates in long double
+        (the reference's HIF_HIGH_PRECISION_SOLVE)."""
+        x, iters, flag = iter_refine(self, A, b, N, betas, trans, r,
+                                     boost=boost)
         if betas is None:
             return x
         return x, iters, flag

@@ -1030,7 +1030,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   unsigned long long n_ut_vis = 0, n_l_vis = 0, n_kap_vis = 0,
                      n_pre = 0, n_kept = 0, n_swap = 0;
   unsigned long long c_kappa = 0, c_ut = 0, c_l = 0, c_drop = 0, c_push = 0,
-                     c_scale = 0, t0 = 0, t1 = 0;
+                     c_pushA = 0, c_scale = 0, t0 = 0, t1 = 0;
+  (void)c_pushA;
   (void)c_scale;
 #define HT_TIC2() if (prof2) t1 = __rdtsc()
 #define HT_TOC2(acc) if (prof2) acc += __rdtsc() - t1
@@ -1301,14 +1302,16 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         __builtin_prefetch(&cols_of_U.head[keep[k].id], 1, 3);
       for (i64 k = 0; k < kept; ++k) {
         const i32 c = keep[k].id;
-        const VT v = keep[k].val;
         Uids.push_back(c);
-        Uvals.push_back(v);
-        cols_of_U.add(c, (i32)step, v);
+        Uvals.push_back(keep[k].val);
         if (mir && c < m2 && status[c] == 0) ++n_lead;
       }
       Uptr.push_back((i64)Uids.size());
       Uend.push_back((i64)Uids.size());
+      HT_TOC2(c_pushA);
+      HT_TIC2();
+      for (i64 k = 0; k < kept; ++k)
+        cols_of_U.add(keep[k].id, (i32)step, keep[k].val);
       HT_TOC2(c_push);
     }
 
@@ -1331,10 +1334,13 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       for (i64 k = 0; k < kept; ++k) {
         Lids.push_back(keep[k].id);
         Lvals.push_back(keep[k].val);
-        rows_of_L.add(keep[k].id, (i32)step, keep[k].val);
       }
       Lptr.push_back((i64)Lids.size());
       Lend.push_back((i64)Lids.size());
+      HT_TOC2(c_pushA);
+      HT_TIC2();
+      for (i64 k = 0; k < kept; ++k)
+        rows_of_L.add(keep[k].id, (i32)step, keep[k].val);
     }
     if (ldlt) {
       // mirror U row = kept l entries (U = L^T in LDL^T)
@@ -1376,9 +1382,10 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   if (prof2)
     std::fprintf(stderr,
                  "[ht_loop] kappa=%.2fGc ut=%.2fGc l=%.2fGc drop=%.2fGc "
-                 "push=%.2fGc | nnzA=%lld kapV=%.1fM utV=%.1fM lV=%.1fM "
-                 "swap=%.1fM pre=%.1fM kept=%.1fM\n",
+                 "pushA=%.2fGc push=%.2fGc | nnzA=%lld kapV=%.1fM utV=%.1fM "
+                 "lV=%.1fM swap=%.1fM pre=%.1fM kept=%.1fM\n",
                  c_kappa * 1e-9, c_ut * 1e-9, c_l * 1e-9, c_drop * 1e-9,
+                 c_pushA * 1e-9,
                  c_push * 1e-9, (long long)Ap[n], n_kap_vis * 1e-6,
                  n_ut_vis * 1e-6, n_l_vis * 1e-6, n_swap * 1e-6,
                  n_pre * 1e-6, n_kept * 1e-6);

@@ -228,22 +228,20 @@ def mc64(B) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     :func:`hifir_tpu.pre.matching.mc64_matching`."""
     lib = _load()
     n = B.nrows
+    # matching runs on f64 magnitudes regardless of working precision; the
+    # CSC view needs no sorted columns, so the native counting transpose
+    # replaces scipy's comparison-sorting tocsc for every dtype
     if np.iscomplexobj(B.data) or B.data.dtype != np.float64:
-        # matching runs on f64 magnitudes regardless of working precision
-        AT = B.tocsc()
-        ATp, ATi = AT.indptr, AT.indices
-        ATv = (np.ascontiguousarray(np.abs(AT.data), dtype=np.float64)
-               if np.iscomplexobj(B.data)
-               else np.ascontiguousarray(AT.data, dtype=np.float64))
+        Bv64 = (np.abs(B.data).astype(np.float64)
+                if np.iscomplexobj(B.data)
+                else B.data.astype(np.float64))
+        B = type(B)(B.nrows, B.ncols, B.indptr, B.indices, Bv64)
+    trip = transpose(B)
+    if trip is not None:
+        ATp, ATi, ATv = trip
     else:
-        # matching needs the CSC view but not sorted columns: the native
-        # counting transpose skips scipy's comparison sorts
-        trip = transpose(B)
-        if trip is not None:
-            ATp, ATi, ATv = trip
-        else:
-            AT = B.tocsc()
-            ATp, ATi, ATv = AT.indptr, AT.indices, AT.data
+        AT = B.tocsc()
+        ATp, ATi, ATv = AT.indptr, AT.indices, AT.data
     p = np.empty(n, dtype=np.int64)
     s = np.empty(n, dtype=np.float64)
     t = np.empty(n, dtype=np.float64)

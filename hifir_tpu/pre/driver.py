@@ -55,8 +55,16 @@ def defer_tiny_diags(A: CSR, m0: int, p: np.ndarray, q: np.ndarray
         return 0, p, q
     from . import _native
 
-    probe = _native.defer_probe(A, m0, p, q) \
-        if A.data.dtype == np.float64 else None
+    # the probe consumes magnitudes only: non-f64 working precisions (native
+    # f32/c64 factorization, complex) convert |data| once per level (~ms)
+    # instead of falling into the scipy max(axis)/searchsorted path (seconds
+    # per level at 1M rows)
+    if A.data.dtype == np.float64:
+        probe = _native.defer_probe(A, m0, p, q)
+    else:
+        Aabs = CSR(A.nrows, A.ncols, A.indptr, A.indices,
+                   np.abs(A.data).astype(np.float64))
+        probe = _native.defer_probe(Aabs, m0, p, q)
     if probe is not None:
         diag, mx = probe
     else:

@@ -501,3 +501,72 @@ def test_native_c64_smoke():
     r = np.linalg.norm(np.asarray(b, np.complex128)
                        - A.to_scipy() @ np.asarray(x, np.complex128))
     assert r / np.linalg.norm(b) < 1e-5
+
+def test_anchor_ldlt_mode1_semantics():
+    """Anchor mode 1 (LDLᵀ) is the spec for the native mode-1 kernel: on a
+    symmetric matrix with symmetric dropping parameters it must agree with
+    the general anchor kernel (mode 0) — U = Lᵀ, identical d and ordering —
+    since the general Crout on symmetric input preserves the symmetry
+    (ref factor.hpp:818-820, the IsSymm LDLᵀ variant)."""
+    from hifir_tpu.alg.crout_np import crout_level_np
+
+    A = poisson2d(16)
+    n = A.nrows
+    opts = Options(verbose=0, tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3,
+                   kappa=5, kappa_d=5)
+    d0 = A.diagonal()
+    ref = np.diff(A.indptr)
+    r0 = crout_level_np(A, d0, n, 1, opts, ref, ref, symm_mode=0)
+    r1 = crout_level_np(A, d0, n, 1, opts, ref, ref, symm_mode=1)
+    assert r1.m == r0.m
+    np.testing.assert_array_equal(r1.ord_final, r0.ord_final)
+    np.testing.assert_array_equal(r1.d, r0.d)
+    for name in ("L_B", "U_B", "L_E", "U_F"):
+        a, b = getattr(r1, name), getattr(r0, name)
+        np.testing.assert_array_equal(a.indptr, b.indptr, err_msg=name)
+        np.testing.assert_array_equal(a.indices, b.indices, err_msg=name)
+        np.testing.assert_array_equal(a.data, b.data, err_msg=name)
+    # and the defining property: U_B == L_Bᵀ
+    LT = r1.L_B.transpose()
+    np.testing.assert_array_equal(LT.to_scipy().toarray(),
+                                  r1.U_B.to_scipy().toarray())
+
+
+def test_boosted_precision_host_ir():
+    """HIF_HIGH_PRECISION_SOLVE parity (ref utils/common.hpp:219-246,
+    builder.hpp:125-131): with boost=True the IR accumulates x and the
+    residual in long double, so on an ill-conditioned system the forward
+    error against the exact solution of the *stored* f64 system converges
+    to ~machine eps instead of stalling at cond(A)·eps."""
+    from hifir_tpu.ds.csr import csr_from_dense
+
+    rng = np.random.default_rng(11)
+    n = 30
+    # cond(A) ~ 1e9 via a log-spaced spectrum
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    D = (Q * np.logspace(0, -9, n)) @ Q.T
+    A = csr_from_dense(D)
+    b = rng.standard_normal(n)
+    # exact solution of the STORED (f64) system via long-double GE with
+    # partial pivoting -- the only x both IR variants can converge to
+    W = np.hstack([D.astype(np.longdouble), b[:, None].astype(np.longdouble)])
+    for k in range(n):
+        piv = k + int(np.argmax(np.abs(W[k:, k])))
+        W[[k, piv]] = W[[piv, k]]
+        W[k + 1:] -= (W[k + 1:, k:k + 1] / W[k, k]) * W[k:k + 1]
+    x_exact = np.zeros(n, dtype=np.longdouble)
+    for k in range(n - 1, -1, -1):
+        x_exact[k] = (W[k, n] - W[k, k + 1:n] @ x_exact[k + 1:]) / W[k, k]
+    M = HIF().factorize(A, Options(verbose=0, dense_thres=50))  # exact (LUP)
+    errs = {}
+    for boost in (False, True):
+        x, _, _ = M.hifir(A, b, 12, betas=(1e-30, 1e6), boost=boost)
+        errs[boost] = float(
+            np.linalg.norm((x.astype(np.longdouble) - x_exact)
+                           .astype(np.float64))
+            / np.linalg.norm(x_exact.astype(np.float64)))
+    # plain f64 stalls near cond*eps (~1e-8 here); boosted is limited by
+    # cond*eps_longdouble (~1e-12) -- require three orders of magnitude,
+    # robust to spectrum draws
+    assert errs[True] < errs[False] * 1e-3, errs
+    assert errs[True] < 1e-11, errs
