@@ -45,13 +45,20 @@ def main():
     n = A.nrows
     opts = Options(tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3, kappa=5,
                    kappa_d=5, verbose=0)
-    t0 = time.time()
-    M = HIF().factorize(A, opts)
-    t_fact = time.time() - t0
+    # min-of-3: the build host swings up to 2x between machine phases, so a
+    # single-shot factorize time is meaningless (round-2 lesson: the shipped
+    # number once moved 6.4x on noise alone)
+    fact_times = []
+    for _ in range(3):
+        t0 = time.time()
+        M = HIF().factorize(A, opts)
+        fact_times.append(time.time() - t0)
+    t_fact = min(fact_times)
     nnz_m = M.nnz()
     fact_thr = A.nnz / t_fact  # north-star "factorization nnz/s" (BASELINE.json)
-    log(f"n={n} nnz(A)={A.nnz} factorize {t_fact:.2f}s "
-        f"({fact_thr / 1e6:.2f} Mnnz/s) fill {nnz_m / A.nnz:.2f} "
+    log(f"n={n} nnz(A)={A.nnz} factorize min-of-3 {t_fact:.2f}s "
+        f"(all: {', '.join(f'{t:.2f}' for t in fact_times)}; "
+        f"{fact_thr / 1e6:.2f} Mnnz/s) fill {nnz_m / A.nnz:.2f} "
         f"levels {M.levels()}")
 
     # --- host baseline: serial single-RHS M-solve (native C++ kernels) -----
@@ -98,7 +105,15 @@ def main():
     # the mixed-precision IR demonstration (reference ``lhfsdApply``,
     # BASELINE.json config 3) use the robust defaults, whose Richardson
     # contraction is strong, and track the per-step contraction factor.
-    Mr = HIF().factorize(A, Options(verbose=0))
+    rob_times = []
+    for _ in range(2):
+        t0 = time.time()
+        Mr = HIF().factorize(A, Options(verbose=0))
+        rob_times.append(time.time() - t0)
+    fact_thr_robust = A.nnz / min(rob_times)
+    log(f"robust factorize min-of-2 {min(rob_times):.2f}s "
+        f"(all: {', '.join(f'{t:.2f}' for t in rob_times)}; "
+        f"{fact_thr_robust / 1e6:.2f} Mnnz/s) fill {Mr.nnz() / A.nnz:.2f}")
     dpr = Mr.to_device(dtype=jnp.float32)
     x = np.zeros(n)
     bb = np.asarray(B[:, 0], dtype=np.float64)
@@ -124,6 +139,7 @@ def main():
         "vs_baseline": round(tpu_thr / host_thr, 3),
         "extras": {
             "factorize_nnz_per_s": round(fact_thr, 1),
+            "factorize_robust_nnz_per_s": round(fact_thr_robust, 1),
             "fill_ratio": round(nnz_m / A.nnz, 3),
             "ir_contraction_per_step": round(contraction, 4),
             "ir_rel_residual_10_steps": float(f"{rel:.3e}"),

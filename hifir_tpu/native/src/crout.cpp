@@ -42,6 +42,19 @@ void malloc_tune_once() {
 
 }  // namespace
 
+// FTZ/DAZ (flush subnormals to zero) experiment toggle: the reference links
+// with -ffast-math, which sets these MXCSR bits process-wide; dropped-value
+// products in deep levels can hit subnormal range where IEEE handling costs
+// ~100 cycles/op.  Applies to the calling thread only.
+extern "C" __attribute__((visibility("default"))) void ht_set_ftz(int on) {
+  unsigned csr = __builtin_ia32_stmxcsr();
+  if (on)
+    csr |= 0x8040u;   // FTZ | DAZ
+  else
+    csr &= ~0x8040u;
+  __builtin_ia32_ldmxcsr(csr);
+}
+
 // runtime toggle for in-process allocator A/B experiments (glibc defaults
 // restored with on=0: M_MMAP_MAX=65536, M_TRIM_THRESHOLD=128k)
 extern "C" __attribute__((visibility("default"))) void ht_malloc_tune(

@@ -93,15 +93,26 @@ class PartitionedHIF:
     def factorize(self, A, nparts: int, params: Optional[Options] = None,
                   overlap: Optional[int] = None,
                   threads: Optional[int] = None,
-                  coarse: bool = True) -> "PartitionedHIF":
+                  coarse: bool = True,
+                  process_rank: Optional[int] = None,
+                  process_count: Optional[int] = None) -> "PartitionedHIF":
         """Band, split, and factorize all extended diagonal blocks.
 
         ``overlap=None`` auto-sizes the Schwarz overlap to the banded matrix
         bandwidth (capped at a quarter block) — roughly one grid line of a
         discretized PDE, which is what keeps the iteration growth flat.
         ``threads`` caps the concurrent local factorizations (defaults to
-        ``min(nparts, os.cpu_count())``); in a multi-host deployment each
-        process calls this with its own part subset instead.
+        ``min(nparts, os.cpu_count())``).
+
+        In a multi-process deployment (``jax.distributed``; see
+        :mod:`.multihost`) pass ``process_rank``/``process_count``: this
+        process factorizes only the parts ``k % process_count == rank`` (the
+        banding, bounds, overlap, and coarse operator are deterministic, so
+        every process agrees on the partition without communicating);
+        :meth:`local_contrib` then yields this process's additive share of
+        the RAS apply, and summing shares across processes — e.g. with a
+        ``psum``/``process_allgather`` — reproduces :meth:`solve` exactly
+        (tested in ``tests/test_multihost.py``).
         """
         import os
 
@@ -116,6 +127,13 @@ class PartitionedHIF:
         self.n = n
         self.nparts = nparts
         self.overlap = overlap
+        if (process_rank is None) != (process_count is None):
+            raise ValueError("process_rank and process_count go together")
+        self._rank = process_rank
+        self._nproc = process_count
+
+        def _mine(k: int) -> bool:
+            return process_rank is None or k % process_count == process_rank
 
         if nparts == 1:
             self.perm = np.arange(n, dtype=np.int64)
@@ -150,6 +168,8 @@ class PartitionedHIF:
             lo, hi = int(bounds[k]), int(bounds[k + 1])
             lo_e = max(0, lo - overlap)
             hi_e = min(n, hi + overlap)
+            if not _mine(k):
+                return _Part(lo, hi, lo_e, hi_e, None)
             blk = S[lo_e:hi_e, :][:, lo_e:hi_e].tocsr()
             blk.sort_indices()
             Ab = CSR(blk.shape[0], blk.shape[1],
@@ -167,10 +187,10 @@ class PartitionedHIF:
 
     # -- stats ----------------------------------------------------------------
     def levels(self) -> int:
-        return max(p.M.levels() for p in self.parts)
+        return max(p.M.levels() for p in self.parts if p.M is not None)
 
     def nnz(self) -> int:
-        return sum(p.M.nnz() for p in self.parts)
+        return sum(p.M.nnz() for p in self.parts if p.M is not None)
 
     # -- apply ----------------------------------------------------------------
     def _coarse_apply(self, bp: np.ndarray, trans: bool) -> np.ndarray:
@@ -180,6 +200,33 @@ class PartitionedHIF:
         np.add.at(bc, self._part_of, bp)
         xc = sla.lu_solve(self._coarse_lu, bc, trans=1 if trans else 0)
         return xc[self._part_of]
+
+    def local_contrib(self, b: np.ndarray, trans: bool = False) -> np.ndarray:
+        """This process's additive share of the RAS apply, in ORIGINAL (not
+        banded) index order: the local solves of the parts this process owns
+        plus — on the process owning part 0 — the coarse correction.  Summing
+        ``local_contrib`` over all processes equals :meth:`solve`.  With no
+        ``process_rank`` set (all parts local) it IS :meth:`solve`."""
+        bp = b[self.perm]
+        xp = np.zeros_like(bp)
+        own0 = True
+        for k, p in enumerate(self.parts):
+            if p.M is None:
+                if k == 0:
+                    own0 = False
+                continue
+            if trans:
+                be = np.zeros(p.hi_ext - p.lo_ext, dtype=bp.dtype)
+                be[p.lo - p.lo_ext:p.hi - p.lo_ext] = bp[p.lo:p.hi]
+                xp[p.lo_ext:p.hi_ext] += p.M.solve(be, trans=True)
+            else:
+                xe = p.M.solve(bp[p.lo_ext:p.hi_ext], trans=False)
+                xp[p.lo:p.hi] = xe[p.lo - p.lo_ext:p.hi - p.lo_ext]
+        if own0 and self._coarse_lu is not None:
+            xp += self._coarse_apply(bp, trans)
+        x = np.zeros_like(xp)
+        x[self.perm] = xp
+        return x
 
     def solve(self, b: np.ndarray, trans: bool = False) -> np.ndarray:
         """RAS apply (+ additive coarse correction): local solves on the
@@ -192,6 +239,10 @@ class PartitionedHIF:
         result additively — so BiCG/QMR-type solvers relying on M(trans)
         being the adjoint of M(forward) get exact adjoint semantics.
         """
+        if any(p.M is None for p in self.parts):
+            raise RuntimeError(
+                "partial (multi-process) preconditioner: use local_contrib "
+                "and sum the shares across processes")
         bp = b[self.perm]
         xp = np.zeros_like(bp)
         if trans:

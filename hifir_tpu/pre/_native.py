@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -40,7 +41,8 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "native", "libhifir_tpu.so")
+    path = os.environ.get("HIFIR_TPU_LIB") or os.path.join(
+        here, "native", "libhifir_tpu.so")
     if not os.path.exists(path):
         return None
     try:
@@ -186,9 +188,18 @@ def _wrap_native(addr, dtype, count, owner):
     return np.frombuffer(buf, dtype=dtype)
 
 
+_TR_BUFS = threading.local()
+
+
 def transpose(A) -> Optional[tuple]:
     """Native counting CSR->CSC transpose (columns sorted, O(nnz), no
-    comparison sorts); returns (indptr, indices, vals) or None."""
+    comparison sorts); returns (indptr, indices, vals) or None.
+
+    The output buffers are REUSED across calls (per thread): each first
+    touch of a fresh numpy buffer costs a page fault, and the multilevel
+    factorize calls this once per level on ~100 MB+ outputs — the sole
+    caller (MC64) consumes the views before the next call.
+    """
     lib = _load()
     if lib is None or A.data.dtype != np.float64:
         return None
@@ -198,13 +209,18 @@ def transpose(A) -> Optional[tuple]:
                              _F64, _I64, _I32, _F64])
     if not lib._has_tr:
         return None
-    nnz = A.indptr[A.nrows]
-    Bp = np.empty(A.ncols + 1, dtype=np.int64)
-    Bi = np.empty(max(nnz, 1), dtype=np.int32)
-    Bv = np.empty(max(nnz, 1), dtype=np.float64)
+    nnz = int(A.indptr[A.nrows])
+    b = _TR_BUFS
+    if getattr(b, "cap", -1) < nnz or getattr(b, "cap_p", -1) < A.ncols + 1:
+        b.cap = max(nnz, 1)
+        b.cap_p = A.ncols + 1
+        b.Bp = np.empty(b.cap_p, dtype=np.int64)
+        b.Bi = np.empty(b.cap, dtype=np.int32)
+        b.Bv = np.empty(b.cap, dtype=np.float64)
+    Bp = b.Bp[:A.ncols + 1]
     lib.ht_transpose(A.nrows, A.ncols, A.indptr, A.indices, A.data,
-                     Bp, Bi, Bv)
-    return Bp, Bi[:nnz], Bv[:nnz]
+                     Bp, b.Bi, b.Bv)
+    return Bp, b.Bi[:nnz], b.Bv[:nnz]
 
 
 def diagonal(A, nd: int) -> Optional[np.ndarray]:
