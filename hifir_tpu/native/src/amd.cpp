@@ -69,8 +69,12 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
     for (i64 k = indptr[i]; k < indptr[i + 1]; ++k)
       if (indices[k] != i) a.push_back(indices[k]);
     g.deg[i] = (i64)a.size();
-    g.bucket_insert((i32)i);
   }
+  // tie rule A/B: HT_AMD_TIE=1 -> forward insertion (highest index at head)
+  if (std::getenv("HT_AMD_TIE") && std::getenv("HT_AMD_TIE")[0] == '1')
+    for (i64 i = 0; i < n; ++i) g.bucket_insert((i32)i);
+  else
+    for (i64 i = n - 1; i >= 0; --i) g.bucket_insert((i32)i);
   // exact live weight of each element's member set, maintained
   // incrementally: set at element formation; unchanged by supervariable
   // merges (the merged pair has identical element sets, weight just moves
@@ -83,12 +87,18 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
   std::vector<i64> w(n, -1);        // |L_e \ Lp| workspace
   std::vector<i64> mark(n, -1);     // membership stamp
   std::vector<i32> Lp;              // members of the new element
+  std::vector<i32> scanned_elems;   // elements seen by the w trick
   std::vector<i64> stamp_hash(n, -1);
   std::vector<i32> hash_bucket_head(n, -1), hash_next(n, -1);
   i64 stamp = 0;
 
   std::vector<i32> elim_order;
   elim_order.reserve(n);
+  // assembly tree: parent[e] = element that absorbed e; fsize[e] = front
+  // size at elimination (pivot weight + |Lp| weight) for the postorder
+  // largest-child-last heuristic (amd_2 runs the same postorder pass)
+  std::vector<i32> parent(n, -1);
+  std::vector<i64> fsize(n, 0);
   i64 n_live = n;       // count of live supervariables
   i64 live_weight = n;  // total weight of live variables
   i64 mindeg = 0;
@@ -122,6 +132,7 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
         }
       }
       g.dead[e] = 1;  // absorb e into p
+      parent[e] = p;
       g.elemL[e].clear();
       g.elemL[e].shrink_to_fit();
     }
@@ -142,16 +153,30 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
     live_weight -= nvp0;
 
     const i64 lp_weight = elem_w[p];
+    fsize[p] = nvp0 + lp_weight;
 
     // --- compute |L_e \ Lp| for elements adjacent to Lp (w trick) ---------
+    scanned_elems.clear();
     for (i32 v : Lp)
       for (i32 e : g.adjE[v]) {
         if (!g.is_elem[e] || g.dead[e]) continue;
         if (mark[e] != stamp) {
           w[e] = elem_w[e];
           mark[e] = stamp;
+          scanned_elems.push_back(e);
         }
         w[e] -= g.nv[v];
+      }
+    // aggressive element absorption (amd_2 default, TOMS-837 sec. 3):
+    // an element whose member set is covered by Lp (|L_e \ Lp| == 0 by
+    // weight) is absorbed into the new element p — its members' E lists
+    // prune it below, tightening the esum degree bounds
+    for (i32 e : scanned_elems)
+      if (w[e] == 0) {
+        g.dead[e] = 1;
+        parent[e] = p;
+        g.elemL[e].clear();
+        g.elemL[e].shrink_to_fit();
       }
 
     // --- update each i in Lp ---------------------------------------------
@@ -254,9 +279,12 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
         g.adjE[jv].clear();
       }
     }
-    // reinsert survivors into degree buckets
+    // reinsert survivors into degree buckets (HT_AMD_TIE2=1 -> reversed)
     i64 new_min = n;
-    for (i32 i : Lp) {
+    static const bool rev2 = std::getenv("HT_AMD_TIE2") &&
+                             std::getenv("HT_AMD_TIE2")[0] == '1';
+    for (i64 k2 = 0; k2 < (i64)Lp.size(); ++k2) {
+      const i32 i = rev2 ? Lp[Lp.size() - 1 - k2] : Lp[k2];
       if (g.dead[i] || g.nv[i] == 0) continue;
       g.bucket_insert(i);
       new_min = std::min(new_min, g.in_deg[i]);
@@ -265,9 +293,48 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
     // clear w stamps for elements (lazy via mark/stamp already)
   }
 
-  // --- expand supervariable chains into the final permutation ------------
+  // --- postorder the assembly tree (largest child last), then expand
+  // supervariable chains.  amd_2 postorders too (TOMS-837; reference
+  // pre/amd.hpp postorder at :289,:765) — grouping each subtree's pivots
+  // contiguously, which measurably improves the multilevel ILU quality
+  // over the raw elimination sequence.  HT_AMD_NOPOST=1 disables (A/B).
+  std::vector<i32> final_order;
+  final_order.reserve(elim_order.size());
+  if (std::getenv("HT_AMD_NOPOST")) {
+    final_order = elim_order;
+  } else {
+    std::vector<std::vector<i32>> child(n);
+    for (i32 e : elim_order)
+      if (parent[e] >= 0) child[parent[e]].push_back(e);
+    for (i32 e : elim_order) {
+      auto &c = child[e];
+      if (c.size() > 1) {
+        i64 mx = 0;
+        for (i64 t = 1; t < (i64)c.size(); ++t)
+          if (fsize[c[t]] > fsize[c[mx]]) mx = t;
+        std::swap(c[mx], c.back());
+      }
+    }
+    // iterative DFS postorder; roots in elimination order
+    std::vector<std::pair<i32, i64>> stk;
+    for (i32 r : elim_order) {
+      if (parent[r] >= 0) continue;
+      stk.emplace_back(r, 0);
+      while (!stk.empty()) {
+        auto &[node, ci] = stk.back();
+        if (ci < (i64)child[node].size()) {
+          i32 nxt_child = child[node][ci];
+          ++ci;
+          stk.emplace_back(nxt_child, 0);
+        } else {
+          final_order.push_back(node);
+          stk.pop_back();
+        }
+      }
+    }
+  }
   i64 k = 0;
-  for (i32 rep : elim_order)
+  for (i32 rep : final_order)
     for (i32 v = g.sv_head[rep]; v >= 0; v = g.sv_next[v]) perm[k++] = v;
   if (k != n) {
     // leftovers (isolated nodes not picked up) — should not happen, but be

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import os
 import numpy as np
 
 from ..ds.csr import CSR
@@ -138,10 +139,16 @@ def do_preprocessing(A: CSR, m0: int, level: int, opts: Options,
         # (B | B^T) in one O(nnz) pass
         from . import _native
         P = None
-        trip = _native.sym_leading_pattern(A, p, q, m)
-        if trip is not None:
-            P = (_native.rcm(m, *trip) if use_rcm
-                 else _native.amd(m, *trip))
+        pf = os.environ.get("HT_AMD_PERM_FILE")
+        if pf and not use_rcm and os.path.exists(f"{pf}.{m}.raw"):
+            # experiment hook (see ordering.run_amd): replay an external
+            # ordering for quality attribution
+            P = np.fromfile(f"{pf}.{m}.raw", dtype=np.int64)
+        if P is None:
+            trip = _native.sym_leading_pattern(A, p, q, m)
+            if trip is not None:
+                P = (_native.rcm(m, *trip) if use_rcm
+                     else _native.amd(m, *trip))
         if P is None:
             S = A.to_scipy()
             Bm = S[p[:m], :][:, q[:m]].tocsr()

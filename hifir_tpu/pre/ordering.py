@@ -43,7 +43,19 @@ def run_rcm(B: CSR) -> np.ndarray:
 
 def run_amd(B: CSR) -> np.ndarray:
     """Approximate minimum degree ordering (ref ``pre/amd.hpp``: templated port
-    of AMD TOMS 837).  Falls back to RCM when the native library is absent."""
+    of AMD TOMS 837).  Falls back to RCM when the native library is absent.
+
+    ``HT_AMD_PERM_FILE`` (debug/experiment hook): load the ordering for a
+    matching-size block from ``<file>.<n>.npy`` instead of computing it —
+    used to replay an external ordering (e.g. the reference library's) for
+    quality attribution experiments."""
+    import os
+
+    pf = os.environ.get("HT_AMD_PERM_FILE")
+    if pf:
+        path = f"{pf}.{B.nrows}.raw"
+        if os.path.exists(path):
+            return np.fromfile(path, dtype=np.int64)
     P = symmetrize_pattern(B)
     perm = _native.amd(P.nrows, P.indptr, P.indices)
     if perm is not None:
