@@ -40,19 +40,27 @@ __all__ = ["DistPrec", "AGTrsvOp"]
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class AGTrsvOp:
-    """Tiled-all_gather trsv operand (one level's L or U factor)."""
+    """Tiled-all_gather trsv operand (one level's L or U factor).
 
-    in_rows: jax.Array     # (nslots,) replicated
+    With ``sharded`` (the from_host default) the entry/exit index maps
+    ``in_rows``/``out_slots`` are row-sharded too: the level-padded slot
+    count is a multiple of n (one padded chunk per dependency level), so
+    replicating in_rows costs O(slots) per device — measured 52+ bytes per
+    matrix row at n=262k (examples/distprec_scale.py).  Each device maps
+    its slice and one tiled all_gather reassembles."""
+
+    in_rows: jax.Array     # (nslots,) entry map, sharded or replicated
     cols: jax.Array        # (nchunks, C, K) sharded over axis 1
     vals: jax.Array
-    out_slots: jax.Array   # (n,) replicated
+    out_slots: jax.Array   # (n_pad,) exit map, sharded or replicated
     nchunks: int
     chunk: int
     n: int
+    sharded: bool = False
 
     def tree_flatten(self):
         return ((self.in_rows, self.cols, self.vals, self.out_slots),
-                (self.nchunks, self.chunk, self.n))
+                (self.nchunks, self.chunk, self.n, self.sharded))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -60,7 +68,9 @@ class AGTrsvOp:
 
     def spec(self) -> "AGTrsvOp":
         sh3 = P(None, "rows", None)
-        return AGTrsvOp(P(), sh3, sh3, P(), self.nchunks, self.chunk, self.n)
+        vec = P("rows") if self.sharded else P()
+        return AGTrsvOp(vec, sh3, sh3, vec, self.nchunks, self.chunk,
+                        self.n, self.sharded)
 
 
 def ag_op_kernel(op: AGTrsvOp, b: jax.Array) -> jax.Array:
@@ -70,8 +80,12 @@ def ag_op_kernel(op: AGTrsvOp, b: jax.Array) -> jax.Array:
     ndev = jax.lax.psum(1, "rows")
     my = jax.lax.axis_index("rows").astype(jnp.int32)
     Cloc = op.chunk // ndev
+    nslots = op.nchunks * op.chunk
     b_ext = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
-    x = b_ext[op.in_rows]
+    if op.sharded:
+        x = _gather_trim(b_ext[op.in_rows], nslots)
+    else:
+        x = b_ext[op.in_rows]
     x = jnp.concatenate([x, jnp.zeros((1,), dtype=b.dtype)])
 
     def body(carry, inputs):
@@ -85,6 +99,8 @@ def ag_op_kernel(op: AGTrsvOp, b: jax.Array) -> jax.Array:
         return (x, c + jnp.int32(op.chunk)), None
 
     (x, _), _ = jax.lax.scan(body, (x, jnp.int32(0)), (op.cols, op.vals))
+    if op.sharded:
+        return _gather_trim(x[op.out_slots], op.n)
     return x[op.out_slots]
 
 
@@ -98,7 +114,16 @@ def _trsv_op_kernel(op, b):
 @dataclasses.dataclass
 class DistLevel:
     """Distributed operands of one level; `.spec()` mirrors the pytree with
-    PartitionSpecs for shard_map."""
+    PartitionSpecs for shard_map.
+
+    With ``vec_sharded`` (the default built by :meth:`DistPrec.from_host`)
+    the per-level vectors ``p/q_inv/s_p/t/d`` are row-sharded (padded to the
+    device count): each device stores and computes only its 1/D slice of
+    the level's permute+scale work, and one tiled ``all_gather`` per use
+    reassembles the working vector — persistent per-device state for these
+    vectors drops from O(n) to O(n/D) per level (the 100M-row leg of
+    BASELINE config 5; the working vectors themselves remain transient
+    O(n) activations)."""
 
     p: jax.Array
     q_inv: jax.Array
@@ -115,10 +140,11 @@ class DistLevel:
     n: int
     E_rows: int            # padded row count of E
     F_rows: int
+    vec_sharded: bool = False  # p/q_inv/s_p/t/d row-sharded (padded)
 
     _ARRAYS = ("p", "q_inv", "s_p", "t", "d", "L_op", "U_op",
                "E_idx", "E_val", "F_idx", "F_val")
-    _AUX = ("m", "n", "E_rows", "F_rows")
+    _AUX = ("m", "n", "E_rows", "F_rows", "vec_sharded")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._ARRAYS),
@@ -131,7 +157,8 @@ class DistLevel:
     def spec(self) -> "DistLevel":
         sharded2 = P("rows", None)
         rep = P()
-        vals = dict(p=rep, q_inv=rep, s_p=rep, t=rep, d=rep,
+        vec = P("rows") if self.vec_sharded else rep
+        vals = dict(p=vec, q_inv=vec, s_p=vec, t=vec, d=vec,
                     L_op=self.L_op.spec(), U_op=self.U_op.spec(),
                     E_idx=sharded2, E_val=sharded2,
                     F_idx=sharded2, F_val=sharded2)
@@ -147,15 +174,41 @@ def _dist_spmv(idx, val, x, out_rows):
     return y[:out_rows]
 
 
+def _gather_trim(loc: jax.Array, n: int) -> jax.Array:
+    """Reassemble a row-sharded local block into the full (trimmed) vector."""
+    return jax.lax.all_gather(loc, "rows", axis=0, tiled=True)[:n]
+
+
+def _permute_scale(scale_loc, perm_loc, vec, n: int, vec_sharded: bool):
+    """``scale * vec[perm]`` — with sharded level vectors each device gathers
+    and scales only its slice, then one tiled all_gather reassembles."""
+    if not vec_sharded:
+        return scale_loc * vec[perm_loc]
+    vec_ext = jnp.concatenate([vec, jnp.zeros((1,), dtype=vec.dtype)])
+    return _gather_trim(scale_loc * vec_ext[perm_loc], n)
+
+
+def _div_diag(x: jax.Array, d_loc: jax.Array, m: int, vec_sharded: bool):
+    """``x / d`` for the (replicated) trsv output against a possibly
+    row-sharded diagonal."""
+    if not vec_sharded:
+        return x / d_loc
+    blk = d_loc.shape[0]
+    my = jax.lax.axis_index("rows")
+    idx = my * blk + jnp.arange(blk, dtype=jnp.int32)
+    xs = jnp.where(idx < m, x[jnp.minimum(idx, m - 1)], jnp.zeros((), x.dtype))
+    return _gather_trim(xs / d_loc, m)
+
+
 def _dist_solve(levels: List[DistLevel], tail: Optional[DenseTail],
                 b: jax.Array) -> jax.Array:
     wbs = []
     rhs = b
     for lvl in levels:
-        wb = lvl.s_p * rhs[lvl.p]
+        wb = _permute_scale(lvl.s_p, lvl.p, rhs, lvl.n, lvl.vec_sharded)
         m = lvl.m
         x1 = _trsv_op_kernel(lvl.L_op, wb[:m])
-        x1 = x1 / lvl.d
+        x1 = _div_diag(x1, lvl.d, m, lvl.vec_sharded)
         x1 = _trsv_op_kernel(lvl.U_op, x1)
         y2 = wb[m:] - _dist_spmv(lvl.E_idx, lvl.E_val, x1, lvl.n - m)
         wbs.append(wb)
@@ -168,10 +221,10 @@ def _dist_solve(levels: List[DistLevel], tail: Optional[DenseTail],
         else:
             z = wb[:m]
         z = _trsv_op_kernel(lvl.L_op, z)
-        z = z / lvl.d
+        z = _div_diag(z, lvl.d, m, lvl.vec_sharded)
         z = _trsv_op_kernel(lvl.U_op, z)
         sol = jnp.concatenate([z, x_tail])
-        x_tail = lvl.t * sol[lvl.q_inv]
+        x_tail = _permute_scale(lvl.t, lvl.q_inv, sol, lvl.n, lvl.vec_sharded)
     return x_tail
 
 
@@ -203,13 +256,26 @@ class DistPrec:
 
     @classmethod
     def from_host(cls, mesh: Mesh, M, dtype=None, chunk: int = 256,
-                  halo: bool = True) -> "DistPrec":
+                  halo: bool = True, shard_vectors: bool = True,
+                  max_halo_chunks: int = 128) -> "DistPrec":
         """Build from a factorized host :class:`hifir_tpu.api.HIF`.
 
         ``halo=True`` carries every level's L/U solve with the compact
         per-chunk halo exchange (:mod:`.trsv_halo`); factors it cannot
         carry (single-device mesh, empty factor) fall back to the tiled
-        all_gather op.
+        all_gather op.  ``shard_vectors`` row-shards the per-level
+        permutation/scaling/diagonal vectors too (O(n/D) instead of O(n)
+        persistent state per device, at one extra tiled all_gather per
+        use — see :class:`DistLevel`).
+
+        ``max_halo_chunks`` bounds the *unrolled* halo chunk loop: the halo
+        op carries chunk-exact ragged metadata, so its trace/compile cost
+        and host plan-construction cost grow linearly with the chunk count
+        (one chunk per padded dependency level; a 200k-row robust factor
+        has thousands — measured 649 s host planning + minutes of XLA
+        compile at n=262k, examples/distprec_scale.py).  Factors whose
+        schedule exceeds the cap ride the scanned tiled-all_gather op
+        instead, whose compile cost is independent of the chunk count.
         """
         dtype = jnp.float64 if dtype is None else dtype
         ndev = mesh.shape["rows"]
@@ -217,19 +283,48 @@ class DistPrec:
         C -= C % ndev
         sh3 = NamedSharding(mesh, P(None, "rows", None))
         sh2 = NamedSharding(mesh, P("rows", None))
+        sh1 = NamedSharding(mesh, P("rows"))
         rep = NamedSharding(mesh, P())
         comm = ag_comm = n_halo = 0
+
+        def put_vec(arr, pad_val, dt):
+            """Pad to a multiple of the device count and row-shard (or
+            replicate, with shard_vectors=False)."""
+            a = np.asarray(arr)
+            if not shard_vectors:
+                return jax.device_put(jnp.asarray(a, dt), rep)
+            padded = (-len(a)) % ndev
+            if padded:
+                a = np.concatenate(
+                    [a, np.full(padded, pad_val, dtype=a.dtype)])
+            return jax.device_put(jnp.asarray(a, dt), sh1)
 
         def make_op(T, lower):
             nonlocal comm, ag_comm, n_halo
             if halo:
-                op = build_halo_op(mesh, T, lower=lower, chunk=C, dtype=dtype)
+                op = build_halo_op(mesh, T, lower=lower, chunk=C, dtype=dtype,
+                                   max_chunks=max_halo_chunks)
                 if op is not None:
                     comm += op.comm_elems
                     ag_comm += op.allgather_elems
                     n_halo += 1
                     return op
             s = build_trsv_schedule(T, lower=lower, chunk=C, dtype=dtype)
+            if shard_vectors and s.nchunks:
+                nslots = s.nchunks * C
+                # pad the exit map to a device multiple; the sentinel slot
+                # nslots reads the appended zero and is trimmed by [:n]
+                out = np.asarray(s.out_slots)
+                padded = (-len(out)) % ndev
+                if padded:
+                    out = np.concatenate(
+                        [out, np.full(padded, nslots, dtype=out.dtype)])
+                return AGTrsvOp(
+                    in_rows=jax.device_put(s.in_rows, sh1),
+                    cols=jax.device_put(s.cols, sh3),
+                    vals=jax.device_put(s.vals, sh3),
+                    out_slots=jax.device_put(jnp.asarray(out), sh1),
+                    nchunks=s.nchunks, chunk=C, n=s.n, sharded=True)
             return AGTrsvOp(
                 in_rows=jax.device_put(s.in_rows, rep),
                 cols=jax.device_put(s.cols, sh3),
@@ -243,18 +338,19 @@ class DistPrec:
             Ee = ell_from_csr(pad_rows(prec.E, ndev), dtype=dtype)
             Fe = ell_from_csr(pad_rows(prec.F, ndev), dtype=dtype)
             levels.append(DistLevel(
-                p=jax.device_put(jnp.asarray(prec.p, jnp.int32), rep),
-                q_inv=jax.device_put(jnp.asarray(prec.q_inv, jnp.int32), rep),
-                s_p=jax.device_put(jnp.asarray(prec.s[prec.p], dtype), rep),
-                t=jax.device_put(jnp.asarray(prec.t, dtype), rep),
-                d=jax.device_put(jnp.asarray(prec.d, dtype), rep),
+                p=put_vec(prec.p, n, jnp.int32),
+                q_inv=put_vec(prec.q_inv, n, jnp.int32),
+                s_p=put_vec(prec.s[prec.p], 0.0, dtype),
+                t=put_vec(prec.t, 0.0, dtype),
+                d=put_vec(prec.d, 1.0, dtype),
                 L_op=make_op(prec.L_B, True),
                 U_op=make_op(prec.U_B, False),
                 E_idx=jax.device_put(Ee.indices, sh2),
                 E_val=jax.device_put(Ee.values, sh2),
                 F_idx=jax.device_put(Fe.indices, sh2),
                 F_val=jax.device_put(Fe.values, sh2),
-                m=m, n=n, E_rows=Ee.nrows, F_rows=Fe.nrows))
+                m=m, n=n, E_rows=Ee.nrows, F_rows=Fe.nrows,
+                vec_sharded=shard_vectors))
         tail = None
         if M.precs[-1].dense_solver is not None:
             from ..alg.prec import DevicePrec

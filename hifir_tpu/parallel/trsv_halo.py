@@ -114,11 +114,14 @@ class HaloOp:
 
 
 def build_halo_op(mesh: Mesh, T, lower: bool, chunk: int = 256,
-                  dtype=None) -> Optional[HaloOp]:
+                  dtype=None, max_chunks: Optional[int] = None
+                  ) -> Optional[HaloOp]:
     """Build the per-chunk halo schedule for ``(I + strict(T))^{-1}``.
 
-    Returns ``None`` when the factor is empty or the mesh has one device
-    (callers use the plain replicated/scan variant then).
+    Returns ``None`` when the factor is empty, the mesh has one device, or
+    the schedule has more than ``max_chunks`` chunks (the apply unrolls the
+    chunk loop, so host planning and XLA compile scale linearly with the
+    chunk count — callers fall back to the scanned all_gather op).
     """
     D = mesh.shape["rows"]
     C = max(chunk, D)
@@ -126,6 +129,8 @@ def build_halo_op(mesh: Mesh, T, lower: bool, chunk: int = 256,
     sched = build_trsv_schedule(T, lower=lower, chunk=C, dtype=dtype)
     nchunks = sched.nchunks
     if nchunks == 0 or D == 1:
+        return None
+    if max_chunks is not None and nchunks > max_chunks:
         return None
     Cloc = C // D
     nslots = nchunks * C
