@@ -188,17 +188,45 @@ def _wrap_native(addr, dtype, count, owner):
     return np.frombuffer(buf, dtype=dtype)
 
 
-_TR_BUFS = threading.local()
+
+# Per-thread grown-once output buffer pool (opt-in: HT_POOL=1).  In theory
+# every fresh GB-scale numpy buffer costs a page fault per 4K page on first
+# touch; in practice, interleaved A/B on the 1M factorize measured buffer
+# RETENTION consistently slower on this VM (29.6/18.2/26.0 s pooled vs
+# 16.7/16.9/18.9 s fresh) — keeping hundreds of MB resident draws more
+# hypervisor memory pressure than the munmap/refault round trip costs.
+# Kept behind the env knob for future A/B on other hosts.
+_POOL = threading.local()
+
+
+def _pool_buf(tag: str, size: int, dtype) -> np.ndarray:
+    if not os.environ.get("HT_POOL"):
+        return np.empty(size, dtype=dtype)
+    d = getattr(_POOL, "d", None)
+    if d is None:
+        d = _POOL.d = {}
+    key = (tag, np.dtype(dtype).str)
+    arr = d.get(key)
+    if arr is None or arr.size < size:
+        arr = np.empty(int(size * 1.25) + 16, dtype=dtype)
+        d[key] = arr
+    return arr[:size]
+
+
+def _pool_flip(counter_name: str) -> int:
+    k = getattr(_POOL, counter_name, 0)
+    setattr(_POOL, counter_name, k + 1)
+    return k % 2
 
 
 def transpose(A) -> Optional[tuple]:
     """Native counting CSR->CSC transpose (columns sorted, O(nnz), no
     comparison sorts); returns (indptr, indices, vals) or None.
 
-    The output buffers are REUSED across calls (per thread): each first
-    touch of a fresh numpy buffer costs a page fault, and the multilevel
-    factorize calls this once per level on ~100 MB+ outputs — the sole
-    caller (MC64) consumes the views before the next call.
+    The output buffers can be REUSED across calls (per thread, opt-in
+    ``HT_POOL=1`` — see ``_pool_buf`` for why fresh allocation is the
+    measured default on this host); the sole caller (MC64) consumes the
+    views before the next call.
     """
     lib = _load()
     if lib is None or A.data.dtype != np.float64:
@@ -210,17 +238,12 @@ def transpose(A) -> Optional[tuple]:
     if not lib._has_tr:
         return None
     nnz = int(A.indptr[A.nrows])
-    b = _TR_BUFS
-    if getattr(b, "cap", -1) < nnz or getattr(b, "cap_p", -1) < A.ncols + 1:
-        b.cap = max(nnz, 1)
-        b.cap_p = A.ncols + 1
-        b.Bp = np.empty(b.cap_p, dtype=np.int64)
-        b.Bi = np.empty(b.cap, dtype=np.int32)
-        b.Bv = np.empty(b.cap, dtype=np.float64)
-    Bp = b.Bp[:A.ncols + 1]
+    Bp = _pool_buf("trP", A.ncols + 1, np.int64)
+    Bi = _pool_buf("trI", max(nnz, 1), np.int32)
+    Bv = _pool_buf("trV", max(nnz, 1), np.float64)
     lib.ht_transpose(A.nrows, A.ncols, A.indptr, A.indices, A.data,
-                     Bp, b.Bi, b.Bv)
-    return Bp, b.Bi[:nnz], b.Bv[:nnz]
+                     Bp, Bi, Bv)
+    return Bp, Bi[:nnz], Bv[:nnz]
 
 
 def diagonal(A, nd: int) -> Optional[np.ndarray]:
@@ -439,9 +462,12 @@ def permute_scale(A, s: np.ndarray, t: np.ndarray, p: np.ndarray,
         return None
     n = A.nrows
     vdt = np.float32 if f32 else np.float64
-    Bp = np.empty(n + 1, dtype=np.int64)
-    Bi = np.empty(A.nnz, dtype=np.int32)
-    Bv = np.empty(A.nnz, dtype=vdt)
+    # double-buffered pooled outputs: the returned level matrix stays alive
+    # until the level's Crout kernel finishes, never across two levels
+    slot = _pool_flip("ps_cnt")
+    Bp = _pool_buf(f"psP{slot}", n + 1, np.int64)
+    Bi = _pool_buf(f"psI{slot}", A.nnz, np.int32)
+    Bv = _pool_buf(f"psV{slot}_{vdt.__name__}", A.nnz, vdt)
     fn = lib.ht_permute_scale_s if f32 else lib.ht_permute_scale
     fn(n, A.indptr, A.indices,
        np.ascontiguousarray(A.data, dtype=vdt),
@@ -561,8 +587,10 @@ def sym_leading_pattern(A, p: np.ndarray, q: np.ndarray, m: int):
     p = np.ascontiguousarray(p, dtype=np.int64)
     q = np.ascontiguousarray(q, dtype=np.int64)
     cap = 2 * int((A.indptr[p[:m] + 1] - A.indptr[p[:m]]).sum())
-    Pp = np.empty(m + 1, dtype=np.int64)
-    Pi = np.empty(max(cap, 1), dtype=np.int32)
+    # pooled transient outputs (consumed by the ordering within
+    # do_preprocessing before the next call)
+    Pp = _pool_buf("slpP", m + 1, np.int64)
+    Pi = _pool_buf("slpI", max(cap, 1), np.int32)
     nnz = lib.ht_sym_leading_pattern(A.nrows, A.indptr, A.indices, p, q, m,
                                      Pp, Pi)
     return Pp, Pi[:nnz]
