@@ -207,8 +207,18 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         k2 = -1.0 - sm
         return k2 if abs(k1) < abs(k2) else k1
 
+    # per-Crout-step streamer (ref builder.hpp:266-267 + the Crout_info
+    # calls in factor.hpp:803-1004; compiled to a no-op unless VERBOSE_FAC)
+    from ..options import VERBOSE_FAC
+    from ..utils.log import hif_info
+
+    stream = bool(opts.verbose & VERBOSE_FAC)
+
     step = 0
     for idk in range(m2):
+        if stream:
+            hif_info(opts, " Crout step %d (id %d), defers=%d", step, idk,
+                     len(deferred), tag="fac")
         # --- pivot admissibility (ref factor.hpp:806-871) ---
         dk = d[idk]
         if dk == 0 or abs(1.0 / dk) > kappa_d:

@@ -215,8 +215,15 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     from ..options import PIVOTING_ON
 
     use_pivot = force_pivot or opts.pivot == PIVOTING_ON
-    # dist_schur needs the anchor branch (the native kernel fuses the Schur)
+    from ..options import VERBOSE_FAC
+
+    # dist_schur needs the anchor branch (the native kernel fuses the Schur);
+    # VERBOSE_FAC (per-Crout-step streaming, ref builder.hpp:266-267) also
+    # runs the anchor, whose loop streams each step -- matching the
+    # reference, where the streamer costs the factorization its speed too
+    stream_fac = bool(opts.verbose & VERBOSE_FAC)
     use_native = (not use_pivot and opts.use_native and not opts.dist_schur
+                  and not stream_fac
                   and _native.has_crout_dtype(Ahat.data.dtype))
     S_native = None
     EF_native = None
@@ -225,7 +232,7 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     if use_pivot and native_pivot_ok:
         pars = determine_fac_pars(opts, level)
         (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,
-         nstats) = _native.crout_pivot(Ahat, m2, pars, row_ref, col_ref,
+         nstats, kmm) = _native.crout_pivot(Ahat, m2, pars, row_ref, col_ref,
                                        a_L, a_U, opts.gamma)
         res = CroutResult(
             m=m, n=n,
@@ -240,6 +247,7 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         from .crout_pivot_np import pivot_crout_level_np
 
         res = pivot_crout_level_np(Ahat, m2, level, opts, row_ref, col_ref)
+        kmm = None
     elif use_native:
         pars = determine_fac_pars(opts, level)
         # kernel mode: 1 = LDL^T mirror (U = L^T), valid for real symmetric
@@ -254,7 +262,7 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         else:
             symm_kernel = 2 if sym_block else 0
         (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,
-         nstats) = _native.crout(Ahat, d0, m2, pars, row_ref, col_ref,
+         nstats, kmm) = _native.crout(Ahat, d0, m2, pars, row_ref, col_ref,
                                  a_L, a_U, symmetric=symm_kernel)
         res = CroutResult(
             m=m, n=n,
@@ -274,7 +282,21 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
             anchor_mode = 2 if sym_block else 0
         res = crout_level_np(Ahat, d0, m2, level, opts, row_ref, col_ref,
                              symm_mode=anchor_mode)
+        kmm = None
     m = res.m
+
+    # INFO2 per-level |kappa| dump (ref factor.hpp:1063-1110)
+    if kmm is None and getattr(res, "kappa_u", None) is not None \
+            and len(res.kappa_u):
+        ku = np.abs(res.kappa_u)
+        kl = np.abs(getattr(res, "kappa_l", res.kappa_u))
+        kmm = (ku.min(), ku.max(),
+               (kl.min() if len(kl) else 0.0),
+               (kl.max() if len(kl) else 0.0))
+    if kmm is not None:
+        hif_info(opts, "  |kappa_u| in [%.4g, %.4g], |kappa_l| in "
+                       "[%.4g, %.4g]", kmm[0], kmm[1], kmm[2], kmm[3],
+                 tag="info2")
 
     # --- post-flag analysis (ref factor.hpp:1032-1050) ----------------------
     post_flag = 0

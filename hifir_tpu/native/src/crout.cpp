@@ -120,7 +120,26 @@ struct Result {
   std::vector<VT> d;
   std::vector<i64> ord;      // final ordering: position -> id
   i64 stats[6] = {0, 0, 0, 0, 0, 0};  // defers, diag, cond, space, total, -
+  // min/max |kappa_u|, min/max |kappa_l| over accepted steps (the
+  // reference's INFO2 per-level dump, factor.hpp:1063-1110)
+  double kmm[4] = {0.0, 0.0, 0.0, 0.0};
 };
+
+template <class VT>
+void kappa_minmax(const std::vector<VT> &ku, const std::vector<VT> &kl,
+                  double *kmm) {
+  auto mm = [](const std::vector<VT> &v, double *lo, double *hi) {
+    *lo = *hi = 0.0;
+    bool first = true;
+    for (const VT &x : v) {
+      const double a = std::abs(x);
+      if (first) { *lo = *hi = a; first = false; }
+      else { if (a < *lo) *lo = a; if (a > *hi) *hi = a; }
+    }
+  };
+  mm(ku, kmm, kmm + 1);
+  mm(kl, kmm + 2, kmm + 3);
+}
 
 // dual dropping on a scatter-accumulated sparse vector
 // (ref alg/thresholds.hpp:49,72).  The candidate ids gather their values
@@ -955,6 +974,7 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   const i64 m = step_t0;
   res->m = m;
   res->stats[0] = (i64)deferred.size();
+  kappa_minmax(kap_u, kap_l, res->kmm);
   const bool prof = std::getenv("HT_PROFILE") != nullptr;
   auto t_loop_end = std::chrono::steady_clock::now();
 
@@ -1447,6 +1467,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   const bool prof = std::getenv("HT_PROFILE") != nullptr;
   auto t_loop_end = std::chrono::steady_clock::now();
   res->stats[0] = (i64)deferred.size();
+  kappa_minmax(kap_u, kap_l, res->kmm);
 
   // ---- final ordering (rows == cols for the non-pivoting kernel) ----
   std::vector<i64> ordR;
@@ -1723,6 +1744,7 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   const i64 m = step;
   res->m = m;
   res->stats[0] = (i64)deferredR.size();
+  kappa_minmax(kap_u, kap_l, res->kmm);
 
   std::vector<i64> ordR, ordC;
   ordR.reserve(n);
@@ -1954,6 +1976,10 @@ HT_API void ht_res_copy_stats(void *h, i64 *out) {
     std::memcpy(out, r->stats, 6 * sizeof(i64));
   });
 }
+HT_API void ht_res_kmm(void *h, double *out) {
+  res_dispatch(h, [out](auto *r) { std::copy_n(r->kmm, 4, out); });
+}
+
 HT_API void ht_res_free(void *h) {
   res_dispatch(h, [](auto *r) { delete r; });
 }

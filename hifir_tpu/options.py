@@ -147,6 +147,39 @@ class Options:
             lines.append(f"{f:>14} {getattr(self, f)}")
         return "\n".join(lines)
 
+    # whitespace-stream extraction order (ref ``operator>>``, Options.h:566:
+    # sequential field order WITHOUT ``pivot``)
+    _STREAM_FIELDS = (
+        "tau_L", "tau_U", "kappa_d", "kappa", "alpha_L", "alpha_U", "rho",
+        "c_d", "c_h", "N", "verbose", "rf_par", "reorder", "spd", "check",
+        "pre_scale", "symm_pre_lvls", "threads", "mumps_blr", "fat_schur_1st",
+        "rrqr_cond", "gamma", "beta", "is_symm", "no_pre", "nzp_thres",
+        "dense_thres",
+    )
+
+    @classmethod
+    def from_stream(cls, text) -> "Options":
+        """Parse 27 whitespace-separated values in the reference's stream
+        order (``operator>>``, ref ``Options.h:566-575``; note the stream
+        format predates ``pivot`` and does not include it).  ``text`` may be
+        a string or any object with ``read()``."""
+        if hasattr(text, "read"):
+            text = text.read()
+        toks = str(text).split()
+        if len(toks) < len(cls._STREAM_FIELDS):
+            raise ValueError(
+                f"expected {len(cls._STREAM_FIELDS)} values, got {len(toks)}")
+        opts = cls()
+        field_types = {f.name: f.type for f in dataclasses.fields(opts)}
+        for name, tok in zip(cls._STREAM_FIELDS, toks):
+            conv = float if field_types[name] == "float" else int
+            setattr(opts, name, conv(tok))
+        return opts
+
+    def to_stream(self) -> str:
+        """Serialize in the ``from_stream`` order (round-trips)."""
+        return " ".join(repr(getattr(self, f)) for f in self._STREAM_FIELDS)
+
     def clone(self) -> "Options":
         return dataclasses.replace(self)
 

@@ -384,7 +384,21 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
         ordf = ordf[0]
     stats = np.empty(6, dtype=np.int64)
     lib.ht_res_copy_stats(h, stats)
-    return m, L, U, S, E, F, d, ordf, stats
+    kmm = _fetch_kmm(lib, h)
+    return m, L, U, S, E, F, d, ordf, stats, kmm
+
+
+def _fetch_kmm(lib, h) -> Optional[np.ndarray]:
+    """min/max |kappa_u|, min/max |kappa_l| of a native level result (the
+    reference's INFO2 per-level dump inputs, ref factor.hpp:1063-1110)."""
+    if not hasattr(lib, "_has_kmm"):
+        lib._has_kmm = _bind(lib, "ht_res_kmm", None,
+                             [ctypes.c_void_p, _F64])
+    if not lib._has_kmm:
+        return None
+    out = np.empty(4, dtype=np.float64)
+    lib.ht_res_kmm(h, out)
+    return out
 
 
 def trsv(M, b: np.ndarray, lower: bool) -> Optional[np.ndarray]:
@@ -564,9 +578,10 @@ def crout_pivot(Ahat, m2: int, pars, row_ref, col_ref, schur_aL, schur_aU,
         ordf = ordf.reshape(2, n)
         stats = np.empty(6, dtype=np.int64)
         lib.ht_res_copy_stats(h, stats)
+        kmm = _fetch_kmm(lib, h)
     finally:
         lib.ht_res_free(h)
-    return m, L, U, S, E, F, d, ordf, stats
+    return m, L, U, S, E, F, d, ordf, stats, kmm
 
 
 def sym_leading_pattern(A, p: np.ndarray, q: np.ndarray, m: int):

@@ -179,3 +179,37 @@ def test_complex_system_young1c():
     xt = M.solve(b, trans=True)
     yt = M.mmultiply(xt, trans=True)
     np.testing.assert_allclose(yt, b, atol=1e-8 * np.abs(b).max())
+
+
+def test_options_stream_roundtrip():
+    """Stream extraction parity (ref Options.h:566-575 operator>>: 27
+    whitespace-separated values in field order, pivot excluded)."""
+    from hifir_tpu.options import Options
+
+    o = Options()
+    assert Options.from_stream(o.to_stream()).to_stream() == o.to_stream()
+    o3 = Options.from_stream(
+        "1e-2 1e-2 5 5 3 3 0.5 10 2 -1 0 1 2 0 1 0 -2 0 1 0 0 1 1e3 0 0 "
+        "0.65 500")
+    assert o3.tau_L == 1e-2 and o3.kappa == 5 and o3.dense_thres == 500
+    import io
+
+    assert Options.from_stream(io.StringIO(o.to_stream())).tau_L == o.tau_L
+
+
+def test_verbose_fac_streamer_and_info2(capsys):
+    """VERBOSE_FAC streams every Crout step (ref builder.hpp:266-267, via
+    the anchor kernel); INFO2 dumps the per-level min/max |kappa| (ref
+    factor.hpp:1063-1110, native and anchor paths)."""
+    from hifir_tpu.models import poisson2d
+    from hifir_tpu.options import (Options, VERBOSE_FAC, VERBOSE_INFO,
+                                   VERBOSE_INFO2)
+
+    A = poisson2d(8)
+    HIF().factorize(A, Options(verbose=VERBOSE_FAC))
+    out = capsys.readouterr().out
+    assert out.count("Crout step") >= A.nrows // 2
+
+    HIF().factorize(A, Options(verbose=VERBOSE_INFO | VERBOSE_INFO2))
+    out = capsys.readouterr().out
+    assert "|kappa_u| in [" in out
