@@ -256,9 +256,9 @@ class DevicePrec:
                 t=jnp.asarray(prec.t, dtype=dtype),
                 d=jnp.asarray(prec.d, dtype=dtype),
                 L=build_trsv_schedule(prec.L_B, lower=True, chunk=chunk,
-                                      dtype=dtype),
+                                      dtype=dtype, k_cap="auto"),
                 U=build_trsv_schedule(prec.U_B, lower=False, chunk=chunk,
-                                      dtype=dtype),
+                                      dtype=dtype, k_cap="auto"),
                 E=sliced_ell_from_csr(prec.E, dtype=dtype),
                 F=sliced_ell_from_csr(prec.F, dtype=dtype),
                 m=m, n=n))
@@ -316,9 +316,9 @@ class DevicePrec:
                     M.data = np.conj(M.data)
             tops.append(TranLevel(
                 LT=build_trsv_schedule(LT_host, lower=False, chunk=chunk,
-                                       dtype=dtype),
+                                       dtype=dtype, k_cap="auto"),
                 UT=build_trsv_schedule(UT_host, lower=True, chunk=chunk,
-                                       dtype=dtype),
+                                       dtype=dtype, k_cap="auto"),
                 ET=sliced_ell_from_csr(ET_host, dtype=dtype),
                 FT=sliced_ell_from_csr(FT_host, dtype=dtype),
                 q=jnp.asarray(hp.q, dtype=jnp.int32)))

@@ -86,11 +86,67 @@ def _segment_gather(starts, lens):
             + np.arange(total, dtype=np.int64) - np.repeat(seg_off, lens))
 
 
-def build_trsv_schedule(T, lower: bool, chunk: int = 256, dtype=None
-                        ) -> TrsvSchedule:
+def _cumsum0(a):
+    return np.concatenate([[0], np.cumsum(a)])
+
+
+def _choose_k_cap(dcount, chunk):
+    """Pick the deps-per-slot cap minimizing schedule memory.
+
+    The dense (nslots, K) layout pays K = max row degree on EVERY slot; one
+    wide row inflates the whole schedule (measured 25x factor memory at 262k
+    rows).  Splitting rows wider than ``cap`` into partial-sum slots trades
+    K for extra slots: memory ~ (n + sum_wide ceil(d/cap)) * cap.  Scan a
+    power-of-two grid and keep the cheapest cap (ties -> larger cap = fewer
+    extra slots/steps).
+
+    Returns ``None`` (leave unsplit) unless packing saves >= 2x: splitting
+    adds scan steps (extra effective levels / chunks, ~60 us each on chip),
+    so small savings aren't worth the latency.  To bound that step growth the
+    cap is restricted to the *outlier* regime: cap >= the 99th-percentile
+    degree and extra partial slots <= 5% of n — only the rare wide rows pay,
+    the bulk of the schedule keeps its one-slot-per-row shape.
+    """
+    kmax = int(dcount.max()) if dcount.size else 0
+    if kmax <= 1:
+        return None
+    n = dcount.size
+    p99 = int(np.percentile(dcount, 99))
+    caps = []
+    cap = 4
+    while cap < kmax:
+        if cap >= p99:
+            caps.append(cap)
+        cap *= 2
+    unsplit = float(n) * kmax
+    best_cap, best_mem = None, unsplit
+    for cap in reversed(caps):  # descending: near-ties keep the larger cap
+        extra = dcount[dcount > cap]
+        nextra = int(np.sum(-(-extra // cap)))
+        if nextra > 0.05 * n:
+            continue
+        mem = float(n + nextra) * cap
+        if mem < best_mem * 0.999:
+            best_cap, best_mem = cap, mem
+    if best_mem > 0.5 * unsplit:
+        return None
+    return best_cap
+
+
+def build_trsv_schedule(T, lower: bool, chunk: int = 256, dtype=None,
+                        k_cap=None) -> TrsvSchedule:
     """Build the device schedule for ``(I + strict(T))^{-1}``.
 
     ``T`` is a host CSR whose strict lower (or upper) triangle is the factor.
+
+    ``k_cap`` packs the schedule: rows with more than ``k_cap`` dependencies
+    are split into partial-sum slots (init 0, accumulating ``-sum(v*x)``)
+    scheduled in earlier sub-stages of the same dependency level; the row's
+    own slot then combines the partials with coefficient -1.  This bounds the
+    padded inner dimension K at ``k_cap`` instead of the max row degree, so
+    one dense row no longer inflates every slot.  ``k_cap="auto"`` picks the
+    memory-minimizing cap; ``None`` keeps the unsplit layout.  The scan
+    kernels are unchanged — packing is purely a host-side schedule transform.
     """
     n = T.nrows
     indptr, indices, data = T.indptr, T.indices, T.data
@@ -101,51 +157,130 @@ def build_trsv_schedule(T, lower: bool, chunk: int = 256, dtype=None
                             jnp.zeros((0, chunk, 1), zdt),
                             jnp.zeros((0,), jnp.int32), 0, 0, chunk, 0)
 
-    # strict dependency entries (vectorized)
+    # strict dependency entries (vectorized); the pool is row-grouped so a
+    # node's dependency list is one contiguous (start, len) slice of it
     rows_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     keep = (indices < rows_of) if lower else (indices > rows_of)
     dep_rows = rows_of[keep]
-    dep_cols = indices[keep].astype(np.int64)
-    dep_vals = data[keep]
+    pool_ids = indices[keep].astype(np.int64)   # node ids (rows are nodes)
+    pool_vals = dep_vals = data[keep].astype(zdt, copy=False)
     dcount = np.bincount(dep_rows, minlength=n)
-    dstart = np.concatenate([[0], np.cumsum(dcount)])
+    dstart = _cumsum0(dcount)
 
     lev = _compute_levels(n, indptr, indices, lower)
-    nlev = int(lev.max()) + 1
 
-    # rows sorted by level; pad each level to a chunk boundary
-    row_order = np.argsort(lev, kind="stable")
-    lev_sizes = np.bincount(lev, minlength=nlev)
+    if k_cap == "auto":
+        k_cap = _choose_k_cap(dcount, chunk)
+
+    # ---- node table: rows first, then partial-sum nodes from splitting ----
+    node_start = dstart[:-1].copy()
+    node_len = dcount.astype(np.int64).copy()
+    node_row = np.arange(n, dtype=np.int64)      # owner row (init b[row])
+    node_init = np.arange(n, dtype=np.int64)     # in_rows value (n = init 0)
+    node_stage = np.zeros(n, dtype=np.int64)
+    if k_cap is not None and node_len.size and int(node_len.max()) > k_cap:
+        cap = int(k_cap)
+        pool_parts = [pool_ids]
+        val_parts = [pool_vals]
+        pool_off = pool_ids.size
+        starts = [node_start]
+        lens = [node_len]
+        rows = [node_row]
+        inits = [node_init]
+        stages = [node_stage]
+        nnodes = n
+        # wide nodes this layer: split each into ceil(len/cap) partial nodes
+        # over contiguous slices of its current dep list; the node itself is
+        # rewritten to combine the partials (val -1) one stage later
+        wide = np.flatnonzero(node_len > cap)
+        w_start, w_len = node_start[wide], node_len[wide]
+        w_row = node_row[wide]
+        layer = 0
+        while wide.size:
+            g = -(-w_len // cap)
+            npart = int(g.sum())
+            p_owner = np.repeat(np.arange(wide.size), g)
+            p_idx = (np.arange(npart, dtype=np.int64)
+                     - np.repeat(_cumsum0(g)[:-1], g))
+            starts.append(w_start[p_owner] + p_idx * cap)
+            lens.append(np.minimum(cap, w_len[p_owner] - p_idx * cap))
+            rows.append(w_row[p_owner])
+            inits.append(np.full(npart, n, dtype=np.int64))   # init 0
+            stages.append(np.full(npart, layer, dtype=np.int64))
+            p_node = nnodes + np.arange(npart, dtype=np.int64)
+            nnodes += npart
+            # rewrite the wide nodes: deps = their partials, coefficient -1
+            pool_parts.append(p_node)
+            val_parts.append(np.full(npart, -1, dtype=zdt))
+            node_start_new = pool_off + _cumsum0(g)[:-1]
+            pool_off += npart
+            if layer == 0:
+                node_start[wide] = node_start_new
+                node_len[wide] = g
+                node_stage[wide] = 1
+                combine_ids = wide
+            else:
+                starts[0][combine_ids] = node_start_new
+                lens[0][combine_ids] = g
+                stages[0][combine_ids] = layer + 1
+            # recurse if a combine still has > cap partials
+            deep = g > cap
+            combine_ids = combine_ids[deep]
+            w_start = node_start_new[deep]
+            w_len = g[deep]
+            w_row = w_row[deep] if layer == 0 else rows[0][combine_ids]
+            wide = combine_ids
+            layer += 1
+        pool_ids = np.concatenate(pool_parts)
+        pool_vals = np.concatenate(val_parts)
+        node_start = np.concatenate(starts)
+        node_len = np.concatenate(lens)
+        node_row = np.concatenate(rows)
+        node_init = np.concatenate(inits)
+        node_stage = np.concatenate(stages)
+
+    nnodes = node_row.size
+    # schedule key: (level of owner row, stage); compact to effective levels
+    max_stage = int(node_stage.max()) + 1 if nnodes else 1
+    key = lev[node_row] * max_stage + node_stage
+    eff = np.unique(key)
+    nlev = eff.size
+    nlev_map = np.searchsorted(eff, key)
+
+    # nodes sorted by effective level; pad each level to a chunk boundary
+    node_order = np.argsort(nlev_map, kind="stable")
+    lev_sizes = np.bincount(nlev_map, minlength=nlev)
     padded_sizes = -(-lev_sizes // chunk) * chunk
     total_slots = int(padded_sizes.sum())
-    all_rows = np.full(total_slots, n, dtype=np.int64)
-    out_start = np.concatenate([[0], np.cumsum(padded_sizes)[:-1]])
-    pos_in_level = np.arange(n, dtype=np.int64) - np.concatenate(
-        [[0], np.cumsum(lev_sizes)[:-1]])[lev[row_order]]
-    slot_of = np.empty(n, dtype=np.int64)
-    slots = out_start[lev[row_order]] + pos_in_level
-    all_rows[slots] = row_order
-    slot_of[row_order] = slots
+    all_init = np.full(total_slots, n, dtype=np.int64)
+    out_start = _cumsum0(padded_sizes)[:-1]
+    pos_in_level = (np.arange(nnodes, dtype=np.int64)
+                    - _cumsum0(lev_sizes)[:-1][nlev_map[node_order]])
+    slot_of = np.empty(nnodes, dtype=np.int64)
+    slots = out_start[nlev_map[node_order]] + pos_in_level
+    all_init[slots] = node_init[node_order]
+    slot_of[node_order] = slots
 
     nchunks = total_slots // chunk
-    K = max(int(dcount.max()) if n else 0, 1)
+    K = max(int(node_len.max()) if nnodes else 0, 1)
     cols2d = np.full((total_slots, K), total_slots, dtype=np.int32)
     vals2d = np.zeros((total_slots, K), dtype=zdt)
 
-    real_slots = np.flatnonzero(all_rows < n)
-    rr = all_rows[real_slots]
-    lens = dcount[rr]
-    flat = _segment_gather(dstart[rr], lens)
-    out_slot = np.repeat(real_slots, lens)
+    lens_s = node_len[node_order]
+    flat = _segment_gather(node_start[node_order], lens_s)
+    out_slot = np.repeat(slots, lens_s)
     out_off = (np.arange(flat.size, dtype=np.int64)
-               - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens))
-    cols2d[out_slot, out_off] = slot_of[dep_cols[flat]]
-    vals2d[out_slot, out_off] = dep_vals[flat]
+               - np.repeat(_cumsum0(lens_s)[:-1], lens_s))
+    cols2d[out_slot, out_off] = slot_of[pool_ids[flat]]
+    vals2d[out_slot, out_off] = pool_vals[flat]
 
-    return TrsvSchedule(jnp.asarray(all_rows.astype(np.int32)),
+    # row -> slot holding its final value (partials are internal only)
+    out_slots = slot_of[:n]
+
+    return TrsvSchedule(jnp.asarray(all_init.astype(np.int32)),
                         jnp.asarray(cols2d.reshape(nchunks, chunk, K)),
                         jnp.asarray(vals2d.reshape(nchunks, chunk, K)),
-                        jnp.asarray(slot_of.astype(np.int32)),
+                        jnp.asarray(out_slots.astype(np.int32)),
                         n, nchunks, chunk, nlev)
 
 

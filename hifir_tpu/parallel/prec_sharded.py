@@ -309,7 +309,8 @@ class DistPrec:
                     ag_comm += op.allgather_elems
                     n_halo += 1
                     return op
-            s = build_trsv_schedule(T, lower=lower, chunk=C, dtype=dtype)
+            s = build_trsv_schedule(T, lower=lower, chunk=C, dtype=dtype,
+                                    k_cap="auto")
             if shard_vectors and s.nchunks:
                 nslots = s.nchunks * C
                 # pad the exit map to a device multiple; the sentinel slot

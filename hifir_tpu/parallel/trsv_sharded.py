@@ -52,7 +52,7 @@ def shard_trsv_schedule(mesh: Mesh, T, lower: bool, chunk: int = 256
     ndev = mesh.shape["rows"]
     C = max(chunk, ndev)
     C -= C % ndev
-    sched = build_trsv_schedule(T, lower=lower, chunk=C)
+    sched = build_trsv_schedule(T, lower=lower, chunk=C, k_cap="auto")
     sh_fact = NamedSharding(mesh, P(None, "rows", None))
     sh_rep = NamedSharding(mesh, P())
     return ShardedTrsv(

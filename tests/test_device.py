@@ -44,6 +44,61 @@ def test_trsv_mrhs():
                                    rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.parametrize("lower", [True, False])
+@pytest.mark.parametrize("k_cap", [4, 8, "auto"])
+def test_trsv_k_cap_packing(lower, k_cap):
+    """Wide rows split into partial-sum slots: exact, and memory bounded.
+
+    Matrix: random strict triangle plus a few dense rows (degree >> k_cap) —
+    the case where the unsplit (nslots, K) layout blows up by Kmax.
+    """
+    n = 200
+    rng = np.random.default_rng(7)
+    T = random_strict_triangular(n, lower=lower, seed=11)
+    # densify a few rows: row i gets all columns < i (lower) or > i (upper)
+    import scipy.sparse as sp
+
+    M = sp.csr_matrix((T.data, T.indices, T.indptr), shape=(n, n)).tolil()
+    for i in (120, 150, 199) if lower else (0, 40, 80):
+        js = np.arange(i) if lower else np.arange(i + 1, n)
+        M[i, js] = rng.standard_normal(js.size) * 0.1
+    M = M.tocsr()
+    from hifir_tpu.ds import CSR
+
+    T2 = CSR(n, n, M.indptr.astype(np.int64), M.indices.astype(np.int32),
+             M.data)
+    b = rng.standard_normal(n)
+    s0 = build_trsv_schedule(T2, lower=lower, chunk=16)
+    s1 = build_trsv_schedule(T2, lower=lower, chunk=16, k_cap=k_cap)
+    x0 = np.asarray(trsv_apply(s0, jnp.asarray(b)))
+    x1 = np.asarray(trsv_apply(s1, jnp.asarray(b)))
+    xr = (T2.solve_as_strict_lower(b) if lower
+          else T2.solve_as_strict_upper(b))
+    np.testing.assert_allclose(x0, xr, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(x1, xr, rtol=1e-9, atol=1e-9)
+    # packed layout strictly smaller than the K=max-degree layout
+    assert s1.vals.size < s0.vals.size
+    if k_cap != "auto":
+        assert s1.cols.shape[2] <= k_cap
+    # mrhs path agrees too
+    B = rng.standard_normal((n, 3))
+    X1 = np.asarray(trsv_apply_mrhs(s1, jnp.asarray(B)))
+    for k in range(3):
+        np.testing.assert_allclose(
+            X1[:, k], (T2.solve_as_strict_lower(B[:, k]) if lower
+                       else T2.solve_as_strict_upper(B[:, k])),
+            rtol=1e-9, atol=1e-9)
+
+
+def test_trsv_k_cap_auto_threshold():
+    """auto leaves narrow factors unsplit (saving < 2x isn't worth steps)."""
+    T = random_strict_triangular(150, lower=True, seed=3)
+    s0 = build_trsv_schedule(T, lower=True, chunk=16)
+    s1 = build_trsv_schedule(T, lower=True, chunk=16, k_cap="auto")
+    assert s1.cols.shape == s0.cols.shape
+    assert np.array_equal(np.asarray(s1.cols), np.asarray(s0.cols))
+
+
 @pytest.mark.parametrize("sliced", [False, True])
 def test_ell_spmv(sliced):
     A = random_sparse(120, 9, seed=2, ncols=77)
