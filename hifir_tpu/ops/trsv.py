@@ -90,45 +90,80 @@ def _cumsum0(a):
     return np.concatenate([[0], np.cumsum(a)])
 
 
-def _choose_k_cap(dcount, chunk):
-    """Pick the deps-per-slot cap minimizing schedule memory.
+_STEP_ELEMS = 2500  # ~60us scan-step latency floor / ~24ns-per-elem gather
+
+
+def _packed_slot_count(dcount, lev, chunk, cap):
+    """Total padded slots of the schedule if rows wider than ``cap`` split.
+
+    Mirrors the packer below without building arrays: partial nodes land at
+    (level, stage) of their owner, combines one stage later, recursively;
+    each occupied (level, stage) bucket pads to a chunk boundary — exactly
+    the effective-level compaction the real schedule performs.
+    """
+    L = int(lev.max()) + 1 if lev.size else 1
+    d = dcount.astype(np.int64)
+    stage_counts = [np.bincount(lev[d <= cap], minlength=L).astype(np.int64)]
+    wl, wd = lev[d > cap], d[d > cap]
+    s = 0
+    while wl.size:
+        if len(stage_counts) <= s + 1:
+            stage_counts.append(np.zeros(L, np.int64))
+        g = -(-wd // cap)
+        stage_counts[s] += np.bincount(
+            wl, weights=g, minlength=L).astype(np.int64)
+        done = g <= cap
+        stage_counts[s + 1] += np.bincount(wl[done], minlength=L)
+        wl, wd = wl[~done], g[~done]
+        s += 1
+    total = 0
+    for arr in stage_counts:
+        nz = arr[arr > 0]
+        total += int((-(-nz // chunk) * chunk).sum())
+    return total
+
+
+def _schedule_cost(slots, K, chunk):
+    """Memory + step cost of a (slots, K) schedule, in element units.
+
+    Memory and gather work both scale with slots*K; each scan step
+    additionally pays a ~60us launch floor, charged at _STEP_ELEMS element
+    equivalents per chunk so that splitting never wins on tiny factors where
+    extra steps dominate any memory saving.
+    """
+    nchunks = slots // chunk
+    return slots * K + nchunks * max(_STEP_ELEMS, chunk * K)
+
+
+def _choose_k_cap(dcount, lev, chunk):
+    """Pick the deps-per-slot cap minimizing the schedule cost model.
 
     The dense (nslots, K) layout pays K = max row degree on EVERY slot; one
     wide row inflates the whole schedule (measured 25x factor memory at 262k
     rows).  Splitting rows wider than ``cap`` into partial-sum slots trades
-    K for extra slots: memory ~ (n + sum_wide ceil(d/cap)) * cap.  Scan a
-    power-of-two grid and keep the cheapest cap (ties -> larger cap = fewer
-    extra slots/steps).
-
-    Returns ``None`` (leave unsplit) unless packing saves >= 2x: splitting
-    adds scan steps (extra effective levels / chunks, ~60 us each on chip),
-    so small savings aren't worth the latency.  To bound that step growth the
-    cap is restricted to the *outlier* regime: cap >= the 99th-percentile
-    degree and extra partial slots <= 5% of n — only the rare wide rows pay,
-    the bulk of the schedule keeps its one-slot-per-row shape.
+    K for extra slots and scan steps.  Evaluate the actual packed slot count
+    (padding and extra stage levels included) for a power-of-two cap grid
+    and keep the cheapest; return ``None`` (unsplit) unless packing beats
+    the unsplit cost by >=30% — the margin keeps heavy-tail regimes packing
+    (that IS the target case) while narrow factors stay one-slot-per-row.
     """
     kmax = int(dcount.max()) if dcount.size else 0
-    if kmax <= 1:
+    if kmax <= 4:
         return None
-    n = dcount.size
-    p99 = int(np.percentile(dcount, 99))
+    base = _schedule_cost(_packed_slot_count(dcount, lev, chunk, kmax),
+                          kmax, chunk)
     caps = []
     cap = 4
     while cap < kmax:
-        if cap >= p99:
-            caps.append(cap)
+        caps.append(cap)
         cap *= 2
-    unsplit = float(n) * kmax
-    best_cap, best_mem = None, unsplit
-    for cap in reversed(caps):  # descending: near-ties keep the larger cap
-        extra = dcount[dcount > cap]
-        nextra = int(np.sum(-(-extra // cap)))
-        if nextra > 0.05 * n:
-            continue
-        mem = float(n + nextra) * cap
-        if mem < best_mem * 0.999:
-            best_cap, best_mem = cap, mem
-    if best_mem > 0.5 * unsplit:
+    best_cap, best_cost = None, base
+    for cap in reversed(caps):  # descending: ties keep the larger cap
+        cost = _schedule_cost(_packed_slot_count(dcount, lev, chunk, cap),
+                              cap, chunk)
+        if cost < best_cost:
+            best_cap, best_cost = cap, cost
+    if best_cap is not None and best_cost > 0.7 * base:
         return None
     return best_cap
 
@@ -170,7 +205,7 @@ def build_trsv_schedule(T, lower: bool, chunk: int = 256, dtype=None,
     lev = _compute_levels(n, indptr, indices, lower)
 
     if k_cap == "auto":
-        k_cap = _choose_k_cap(dcount, chunk)
+        k_cap = _choose_k_cap(dcount, lev, chunk)
 
     # ---- node table: rows first, then partial-sum nodes from splitting ----
     node_start = dstart[:-1].copy()
