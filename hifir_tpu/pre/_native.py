@@ -264,29 +264,36 @@ def diagonal(A, nd: int) -> Optional[np.ndarray]:
 
 def mc64(B) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Native MC64-equivalent matching; same contract as
-    :func:`hifir_tpu.pre.matching.mc64_matching`."""
+    :func:`hifir_tpu.pre.matching.mc64_matching`.
+
+    The kernel is layout-agnostic (it matches "columns" of whatever
+    compressed axis it is handed), so the CSR arrays are fed directly —
+    i.e. the matching runs on A^T — exactly as the reference does
+    (``pre/EqlDriver.hpp:95-117`` passes the CRS to MC64 and swaps the
+    returned s/t).  This removes a full counting transpose per level
+    (~0.7 s of the 1M-row robust factorize).  Outputs are mapped back:
+    the kernel's per-row match ``pT[row] = col`` inverts to our
+    ``p[col] = row`` contract, and the row/column scalings swap.
+    """
     lib = _load()
     n = B.nrows
-    # matching runs on f64 magnitudes regardless of working precision; the
-    # CSC view needs no sorted columns, so the native counting transpose
-    # replaces scipy's comparison-sorting tocsc for every dtype
+    # matching runs on f64 magnitudes regardless of working precision
     if np.iscomplexobj(B.data) or B.data.dtype != np.float64:
-        Bv64 = (np.abs(B.data).astype(np.float64)
+        vals = (np.abs(B.data).astype(np.float64)
                 if np.iscomplexobj(B.data)
                 else B.data.astype(np.float64))
-        B = type(B)(B.nrows, B.ncols, B.indptr, B.indices, Bv64)
-    trip = transpose(B)
-    if trip is not None:
-        ATp, ATi, ATv = trip
     else:
-        AT = B.tocsc()
-        ATp, ATi, ATv = AT.indptr, AT.indices, AT.data
-    p = np.empty(n, dtype=np.int64)
-    s = np.empty(n, dtype=np.float64)
-    t = np.empty(n, dtype=np.float64)
-    info = lib.ht_mc64(n, ATp, ATi, np.ascontiguousarray(ATv), p, s, t)
+        vals = B.data
+    pT = np.empty(n, dtype=np.int64)
+    t = np.empty(n, dtype=np.float64)   # kernel "row" scalings = our cols
+    s = np.empty(n, dtype=np.float64)   # kernel "col" scalings = our rows
+    info = lib.ht_mc64(n, np.ascontiguousarray(B.indptr, dtype=np.int64),
+                       np.ascontiguousarray(B.indices, dtype=np.int32),
+                       np.ascontiguousarray(vals), pT, t, s)
     if info < 0:
         raise RuntimeError(f"native mc64 failed with {info}")
+    p = np.empty(n, dtype=np.int64)
+    p[pT] = np.arange(n, dtype=np.int64)
     return p, s, t, info
 
 
