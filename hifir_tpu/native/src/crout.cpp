@@ -1082,8 +1082,15 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   // scatter phase and dropping, so dropping/scaling/pushing must not
   // re-gather through the n-sized array: with the compact buffers they
   // touch only sequential hot memory (8 bytes per id in the scatter map
-  // instead of 16 also halves the random-access footprint)
+  // instead of 16 also halves the random-access footprint).
+  // Accepted ids are additionally TOMBSTONE-tagged here: an accepted id can
+  // never be a candidate again, so its (dead) tag slot doubles as the
+  // "consumed" flag — the hot U/L row scans then need ONE random load per
+  // visited entry (wu/wl) instead of two (status byte + tag word), which is
+  // the dominant cost of this latency-bound loop (~150M visits per fat
+  // level at 1M rows)
   struct TP { i32 tag; i32 pos; };
+  constexpr i32 TOMB = -2;  // never equals a step stamp (>= 0) or init -1
   std::vector<TP> wu(n, TP{-1, 0}), wl(n, TP{-1, 0});
   std::vector<i32> ut_ids, l_ids;
   std::vector<VT> utv, lv;
@@ -1211,7 +1218,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     if (!ldlt) {
       for (i64 k = Ap[idk]; k < Ap[idk + 1]; ++k) {
         const i32 c = Ai[k];
-        if (status[c] != 1 && c != idk) {
+        if (wu[c].tag != TOMB && c != idk) {
           wu[c].tag = stp;
           wu[c].pos = (i32)ut_ids.size();
           ut_ids.push_back(c);
@@ -1228,7 +1235,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           const i32 c = Uids[k];
           if (k + 8 < end) __builtin_prefetch(&wu[Uids[k + 8]], 1, 1);
           if (prof2) ++n_ut_vis;
-          if (status[c] == 1) {  // consumed: swap out of the live region
+          const i32 tg = wu[c].tag;
+          if (tg == TOMB) {  // consumed: swap out of the live region
             if (prof2) ++n_swap;
             --end;
             std::swap(Uids[k], Uids[end]);
@@ -1236,7 +1244,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             continue;
           }
           if (c != idk) {
-            if (wu[c].tag != stp) {
+            if (tg != stp) {
               wu[c].tag = stp;
               wu[c].pos = (i32)ut_ids.size();
               ut_ids.push_back(c);
@@ -1259,7 +1267,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     for (i64 k = Cp[idk]; k < Cp[idk + 1]; ++k) {
       const i32 r = Ci[k];
       if (mir ? (r >= m2 || status[r] == 2)
-              : (status[r] != 1 && r != idk)) {
+              : (wl[r].tag != TOMB && r != idk)) {
         wl[r].tag = stp;
         wl[r].pos = (i32)l_ids.size();
         l_ids.push_back(r);
@@ -1293,14 +1301,15 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           const i32 r = Lids[k];
           if (k + 8 < end) __builtin_prefetch(&wl[Lids[k + 8]], 1, 1);
           if (prof2) ++n_l_vis;
-          if (status[r] == 1) {
+          const i32 tg = wl[r].tag;
+          if (tg == TOMB) {
             --end;
             std::swap(Lids[k], Lids[end]);
             std::swap(Lvals[k], Lvals[end]);
             continue;
           }
           if (r != idk) {
-            if (wl[r].tag != stp) {
+            if (tg != stp) {
               wl[r].tag = stp;
               wl[r].pos = (i32)l_ids.size();
               l_ids.push_back(r);
@@ -1430,6 +1439,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     kap_u.push_back(ku);
     kap_l.push_back(kl);
     status[idk] = 1;
+    wu[idk].tag = TOMB;  // consumed-flag for the hot scans (see TP comment)
+    wl[idk].tag = TOMB;
     ++step;
   }
   // ---- mode 2: materialize L columns = mirror of the accepted kept ut
