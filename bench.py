@@ -92,6 +92,45 @@ def main():
     log(f"TPU M-solve mrhs={NRHS} f32: {tpu_total * 1e3:.1f} ms total, "
         f"{tpu_per_rhs * 1e3:.3f} ms/RHS ({tpu_thr / 1e6:.1f} Mnnz/s/RHS)")
 
+    # --- frozen-operator control leg ----------------------------------------
+    # The fresh-factorize headline moves when the *factorization* changes
+    # (better AMD -> lower fill -> mechanically lower nnz/s) even if the
+    # solve kernels are unchanged.  This leg reloads a checked-in, frozen
+    # preconditioner (benchdata/frozen_prec.npz, examples/make_bench_fixture
+    # .py) so its ms/RHS is comparable across rounds and isolates kernel
+    # regressions from operator drift.
+    frozen_ms_per_rhs = frozen_thr = None
+    import os
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "benchdata", "frozen_prec.npz")
+    if os.path.exists(fx):
+        from hifir_tpu.utils.serialize import load_prec
+
+        Mf = load_prec(fx)
+        nf = Mf.precs[0].n
+        nnz_f = Mf.nnz()
+        dpf = Mf.to_device(dtype=jnp.float32)
+        Bf = jnp.asarray(rng.standard_normal((nf, NRHS)), jnp.float32)
+        Xf = dpf.solve_mrhs(Bf)
+        float(jnp.sum(Xf))
+        times = []
+        for _ in range(7):
+            t0 = time.time()
+            Xf = dpf.solve_mrhs(Bf)
+            float(jnp.sum(Xf))
+            times.append(time.time() - t0)
+        frozen_ms_per_rhs = min(times) / NRHS * 1e3
+        frozen_thr = nnz_f / (min(times) / NRHS)
+        relf = (np.abs(np.asarray(Xf[:, 0], np.float64)
+                       - Mf.solve(np.asarray(Bf[:, 0], np.float64))).max()
+                / max(np.abs(Mf.solve(np.asarray(Bf[:, 0],
+                                                 np.float64))).max(), 1e-300))
+        log(f"FROZEN-operator M-solve (n={nf}, nnz(M)={nnz_f}, mrhs={NRHS}): "
+            f"{frozen_ms_per_rhs:.4f} ms/RHS ({frozen_thr/1e6:.1f} "
+            f"Mnnz/s/RHS), device-vs-host rel diff {relf:.2e}")
+    else:
+        log("frozen fixture missing (benchdata/frozen_prec.npz) — skipping")
+
     # --- correctness 1: device f32 solve vs host f64 solve ------------------
     rel_dev = (np.abs(np.asarray(X[:, 0], dtype=np.float64) - M.solve(
         np.asarray(B[:, 0], dtype=np.float64))).max()
@@ -153,6 +192,10 @@ def main():
             "fill_ratio": round(nnz_m / A.nnz, 3),
             "ir_contraction_per_step": round(contraction, 4),
             "ir_rel_residual_10_steps": float(f"{rel:.3e}"),
+            "frozen_ms_per_rhs": (None if frozen_ms_per_rhs is None
+                                  else round(frozen_ms_per_rhs, 4)),
+            "frozen_nnz_per_s": (None if frozen_thr is None
+                                 else round(frozen_thr, 1)),
         },
     }), flush=True)
 

@@ -10,6 +10,12 @@
 
 #include "common.hpp"
 
+// prefetch look-ahead of the hot U/L row scans; ~10 iterations covers a
+// DRAM-latency miss at the measured per-visit cost (A/B'd at 8/16/24)
+#ifndef HT_PF
+#define HT_PF 16
+#endif
+
 #include <chrono>
 #include <complex>
 #include <cstdio>
@@ -160,20 +166,20 @@ struct DropEnt {
 };
 
 template <class VT>
-inline i64 drop_vec(const std::vector<i32> &ids, const std::vector<VT> &vals,
+inline i64 drop_vec(const i32 *ids, const VT *vals, i64 cnt,
                     double tau, double kap, double alpha, i64 nnz_ref,
                     i64 &n_num, i64 &n_space,
                     std::vector<DropEnt<VT>> &scratch, i64 start_size = 0) {
   scratch.clear();
   const bool do_num = tau > 0.0 && kap > 0.0;
   const double coeff = do_num ? tau / kap : 0.0;
-  for (i64 k = 0; k < (i64)ids.size(); ++k) {
+  for (i64 k = 0; k < cnt; ++k) {
     const VT v = vals[k];
     const double a = std::abs(v);
     if (do_num && !(a > coeff)) continue;
     scratch.push_back(DropEnt<VT>{a, ids[k], v});
   }
-  n_num += (i64)ids.size() - (i64)scratch.size();
+  n_num += cnt - (i64)scratch.size();
   i64 sz = (i64)scratch.size();
   if (alpha > 0.0) {
     i64 cap = (i64)std::ceil(alpha * (double)nnz_ref);
@@ -196,6 +202,15 @@ inline i64 drop_vec(const std::vector<i32> &ids, const std::vector<VT> &vals,
     }
   }
   return sz;
+}
+
+template <class VT>
+inline i64 drop_vec(const std::vector<i32> &ids, const std::vector<VT> &vals,
+                    double tau, double kap, double alpha, i64 nnz_ref,
+                    i64 &n_num, i64 &n_space,
+                    std::vector<DropEnt<VT>> &scratch, i64 start_size = 0) {
+  return drop_vec(ids.data(), vals.data(), (i64)ids.size(), tau, kap, alpha,
+                  nnz_ref, n_num, n_space, scratch, start_size);
 }
 
 
@@ -807,7 +822,7 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         i64 k = Lptr[j], end = Lend[j];
         while (k < end) {
           const i32 r = Lids[k];
-          if (k + 8 < end) __builtin_prefetch(&wl[Lids[k + 8]], 1, 1);
+          if (k + HT_PF < end) __builtin_prefetch(&wl[Lids[k + HT_PF]], 1, 1);
           if (status[r] == 1) {
             --end;
             std::swap(Lids[k], Lids[end]);
@@ -926,7 +941,7 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       i64 k = Uptr[j], end = Uend[j];
       while (k < end) {
         const i32 c = Uids[k];
-        if (k + 8 < end) __builtin_prefetch(&wu[Uids[k + 8]], 1, 1);
+        if (k + HT_PF < end) __builtin_prefetch(&wu[Uids[k + HT_PF]], 1, 1);
         if (status[c] == 1) {
           --end;
           std::swap(Uids[k], Uids[end]);
@@ -1092,8 +1107,14 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   struct TP { i32 tag; i32 pos; };
   constexpr i32 TOMB = -2;  // never equals a step stamp (>= 0) or init -1
   std::vector<TP> wu(n, TP{-1, 0}), wl(n, TP{-1, 0});
-  std::vector<i32> ut_ids, l_ids;
-  std::vector<VT> utv, lv;
+  // candidate buffers are preallocated at full width and written by index
+  // (counts nu/nl) so the hot scans can do an UNCONDITIONAL append-slot
+  // store and select the target position branchlessly — the new-vs-seen
+  // branch is data-dependent (~25% new) and its mispredicts dominate the
+  // otherwise cache-resident scan (+1 slot for the dead store when the
+  // final visit is a duplicate)
+  std::vector<i32> ut_ids(n + 1), l_ids(n + 1);
+  std::vector<VT> utv(n + 1), lv(n + 1);
   std::vector<DropEnt<VT>> keep;
   Lids.reserve(rsv); Lvals.reserve(rsv);
   Uids.reserve(rsv); Uvals.reserve(rsv);
@@ -1211,8 +1232,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     // ---- compute ut (ref Crout.hpp:169); skipped for LDL^T (U = L^T).
     // For a pending idk the leading L row mirrors the U column, so mode 2
     // traverses cols_of_U in place of rows_of_L ----
-    ut_ids.clear();
-    utv.clear();
+    i64 nu = 0, nl = 0;
     HT_TIC();
     const i32 stp = (i32)step;
     if (!ldlt) {
@@ -1220,9 +1240,10 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         const i32 c = Ai[k];
         if (wu[c].tag != TOMB && c != idk) {
           wu[c].tag = stp;
-          wu[c].pos = (i32)ut_ids.size();
-          ut_ids.push_back(c);
-          utv.push_back(Av[k]);
+          wu[c].pos = (i32)nu;
+          ut_ids[nu] = c;
+          utv[nu] = Av[k];
+          ++nu;
         }
       }
       const std::vector<i32> &rj = mir ? adjU_j : adjL_j;
@@ -1233,7 +1254,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         i64 k = Uptr[j], end = Uend[j];
         while (k < end) {
           const i32 c = Uids[k];
-          if (k + 8 < end) __builtin_prefetch(&wu[Uids[k + 8]], 1, 1);
+          if (k + HT_PF < end) __builtin_prefetch(&wu[Uids[k + HT_PF]], 1, 1);
           if (prof2) ++n_ut_vis;
           const i32 tg = wu[c].tag;
           if (tg == TOMB) {  // consumed: swap out of the live region
@@ -1244,13 +1265,18 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             continue;
           }
           if (c != idk) {
-            if (tg != stp) {
-              wu[c].tag = stp;
-              wu[c].pos = (i32)ut_ids.size();
-              ut_ids.push_back(c);
-              utv.push_back(-ld * Uvals[k]);
-            } else
-              utv[wu[c].pos] -= ld * Uvals[k];
+            // branchless new-vs-seen: unconditional append-slot store +
+            // position select (identical fp results: the two select arms
+            // are exactly the branchy assignments)
+            const bool isnew = tg != stp;
+            const i32 pos = isnew ? (i32)nu : wu[c].pos;
+            ut_ids[nu] = c;
+            wu[c].tag = stp;
+            wu[c].pos = pos;
+            nu += isnew;
+            const VT contrib = ld * Uvals[k];
+            const VT vold = utv[pos];
+            utv[pos] = isnew ? -contrib : vold - contrib;
           }
           ++k;
         }
@@ -1262,16 +1288,15 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     // ---- compute l (ref Crout.hpp:271); mode 2 computes only the tail
     // part (ids >= m2 or deferred) against the tail views of L ----
     HT_TIC();
-    l_ids.clear();
-    lv.clear();
     for (i64 k = Cp[idk]; k < Cp[idk + 1]; ++k) {
       const i32 r = Ci[k];
       if (mir ? (r >= m2 || status[r] == 2)
               : (wl[r].tag != TOMB && r != idk)) {
         wl[r].tag = stp;
-        wl[r].pos = (i32)l_ids.size();
-        l_ids.push_back(r);
-        lv.push_back(Cv[k]);
+        wl[r].pos = (i32)nl;
+        l_ids[nl] = r;
+        lv[nl] = Cv[k];
+        ++nl;
       }
     }
     if (mir) {
@@ -1283,9 +1308,10 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           const i32 r = tail_of_L.pool[e2].step;  // row id
           if (wl[r].tag != stp) {
             wl[r].tag = stp;
-            wl[r].pos = (i32)l_ids.size();
-            l_ids.push_back(r);
-            lv.push_back(-du * tail_of_L.pool[e2].val);
+            wl[r].pos = (i32)nl;
+            l_ids[nl] = r;
+            lv[nl] = -du * tail_of_L.pool[e2].val;
+            ++nl;
           } else
             lv[wl[r].pos] -= du * tail_of_L.pool[e2].val;
         }
@@ -1299,7 +1325,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         i64 k = Lptr[j], end = Lend[j];
         while (k < end) {
           const i32 r = Lids[k];
-          if (k + 8 < end) __builtin_prefetch(&wl[Lids[k + 8]], 1, 1);
+          if (k + HT_PF < end) __builtin_prefetch(&wl[Lids[k + HT_PF]], 1, 1);
           if (prof2) ++n_l_vis;
           const i32 tg = wl[r].tag;
           if (tg == TOMB) {
@@ -1309,13 +1335,15 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             continue;
           }
           if (r != idk) {
-            if (tg != stp) {
-              wl[r].tag = stp;
-              wl[r].pos = (i32)l_ids.size();
-              l_ids.push_back(r);
-              lv.push_back(-du * Lvals[k]);
-            } else
-              lv[wl[r].pos] -= du * Lvals[k];
+            const bool isnew = tg != stp;
+            const i32 pos = isnew ? (i32)nl : wl[r].pos;
+            l_ids[nl] = r;
+            wl[r].tag = stp;
+            wl[r].pos = pos;
+            nl += isnew;
+            const VT contrib = du * Lvals[k];
+            const VT vold = lv[pos];
+            lv[pos] = isnew ? -contrib : vold - contrib;
           }
           ++k;
         }
@@ -1331,37 +1359,37 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     if (ldlt) {
       // anchor (general kernel on a symmetric matrix) scales ut first and
       // updates d from scaled-ut * unscaled-l; mirror that exactly
-      for (i64 k = 0; k < (i64)l_ids.size(); ++k) {
+      for (i64 k = 0; k < nl; ++k) {
         const i32 c = l_ids[k];
         if (c < m2 && status[c] == 0) d[c] -= (lv[k] / dk) * lv[k];
       }
-      for (VT &v : lv) v /= dk;
+      for (i64 k = 0; k < nl; ++k) lv[k] /= dk;
       // mirror for the dropping below: ut = l
     } else if (mir) {
       // d[c] -= dk * ut_scaled[c]^2 (ref update_diag<true>,
       // Crout.hpp:613-630; no conjugation — symmetric, not Hermitian)
-      for (VT &v : utv) v /= dk;
-      for (i64 k = 0; k < (i64)ut_ids.size(); ++k) {
+      for (i64 k = 0; k < nu; ++k) utv[k] /= dk;
+      for (i64 k = 0; k < nu; ++k) {
         const i32 c = ut_ids[k];
         if (c < m2 && status[c] == 0) d[c] -= dk * utv[k] * utv[k];
       }
-      for (VT &v : lv) v /= dk;
+      for (i64 k = 0; k < nl; ++k) lv[k] /= dk;
     } else {
-      for (VT &v : utv) v /= dk;
-      if (ut_ids.size() <= l_ids.size()) {
-        for (i64 k = 0; k < (i64)ut_ids.size(); ++k) {
+      for (i64 k = 0; k < nu; ++k) utv[k] /= dk;
+      if (nu <= nl) {
+        for (i64 k = 0; k < nu; ++k) {
           const i32 c = ut_ids[k];
           if (c < m2 && status[c] == 0 && wl[c].tag == stp)
             d[c] -= utv[k] * lv[wl[c].pos];
         }
       } else {
-        for (i64 k = 0; k < (i64)l_ids.size(); ++k) {
+        for (i64 k = 0; k < nl; ++k) {
           const i32 c = l_ids[k];
           if (c < m2 && status[c] == 0 && wu[c].tag == stp)
             d[c] -= utv[wu[c].pos] * lv[k];
         }
       }
-      for (VT &v : lv) v /= dk;
+      for (i64 k = 0; k < nl; ++k) lv[k] /= dk;
     }
 
     // ---- dropping ----
@@ -1369,8 +1397,9 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     i64 n_lead = 0;
     if (!ldlt) {
       HT_TIC2();
-      if (prof2) n_pre += ut_ids.size();
-      const i64 kept = drop_vec(ut_ids, utv, tau_U, std::abs(ku) * kappa_d,
+      if (prof2) n_pre += nu;
+      const i64 kept = drop_vec(ut_ids.data(), utv.data(), nu, tau_U,
+                                std::abs(ku) * kappa_d,
                                 alpha_U, row_ref[idk], nnum, nsp, keep);
       if (prof2) n_kept += kept;
       HT_TOC2(c_drop);
@@ -1396,8 +1425,9 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     }
 
     HT_TIC2();
-    if (prof2) n_pre += l_ids.size();
-    const i64 kept = drop_vec(l_ids, lv, tau_L, std::abs(kl) * kappa_d,
+    if (prof2) n_pre += nl;
+    const i64 kept = drop_vec(l_ids.data(), lv.data(), nl, tau_L,
+                              std::abs(kl) * kappa_d,
                               alpha_L, col_ref[idk], nnum, nsp, keep,
                               mir ? n_lead : 0);
     if (prof2) n_kept += kept;
