@@ -155,7 +155,8 @@ class HIF:
         last = self.precs[-1]
         if last.dense_matrix is not None:
             symm = bool(opts.is_symm)
-            solver = make_dense_solver(symm, opts.spd)
+            solver = make_dense_solver(symm, opts.spd,
+                                       device=bool(opts.device_tail))
             solver.factorize(last.dense_matrix, opts)
             last.dense_solver = solver
         t.finish()

@@ -102,6 +102,7 @@ class Options:
     dtype: str = "float64"    # factorization/solve precision
     use_native: int = 1       # use the compiled C++ host kernels when available
     dist_schur: int = 0       # distributed ring-SpGEMM Schur over the mesh
+    device_tail: int = 0      # factorize the dense tail on the TPU (QRCP)
 
     # -- introspection ------------------------------------------------------
     _REF_FIELDS = (
@@ -119,7 +120,8 @@ class Options:
         reference convention where a nonzero return flags an error.
         """
         if (name not in self._REF_FIELDS
-                and name not in ("dtype", "use_native", "dist_schur")):
+                and name not in ("dtype", "use_native", "dist_schur",
+                                 "device_tail")):
             return True
         field_types = {f.name: f.type for f in dataclasses.fields(self)}
         ty = field_types[name]

@@ -166,7 +166,39 @@ class SYEIG:
         return self.V @ (self.w * (self.V.conj().T @ x))
 
 
-def make_dense_solver(symm: bool, spd: int = 0):
+class DeviceQRCP(QRCP):
+    """QRCP whose factorization runs on the TPU (``qrcp_device``) during
+    ``HIF.factorize`` — the device offload of the dense last level (SURVEY
+    §7.2-L4; opt-in via ``Options.device_tail``).  Q/R/piv are pulled back
+    to host so the solve/multiply paths are identical to :class:`QRCP`
+    (complex input falls back to the host path: the device sweep is real)."""
+
+    kind = "qrcp"
+
+    def factorize(self, M: np.ndarray, opts=None) -> None:
+        self.n = M.shape[0]
+        if self.n == 0:
+            self.rank = 0
+            return
+        if np.iscomplexobj(M):
+            return QRCP.factorize(self, M, opts)
+        import jax.numpy as jnp
+
+        from .qrcp_device import qrcp_device, qrcp_rank
+
+        Q, R, piv = qrcp_device(jnp.asarray(M))
+        self.Q = np.asarray(Q, dtype=M.dtype)
+        self.R = np.asarray(R, dtype=M.dtype)
+        self.jpvt = np.asarray(piv, dtype=np.int64)
+        rrqr_cond = getattr(opts, "rrqr_cond", 0.0) if opts is not None \
+            else 0.0
+        self.rank = qrcp_rank(R, rrqr_cond)
+
+
+def make_dense_solver(symm: bool, spd: int = 0, device: bool = False):
     """Solver selection (ref ``small_scale/solver.hpp:42`` trait +
-    ``Prec.hpp:104-127``): QRCP by default, SYEIG for symmetric systems."""
-    return SYEIG() if symm else QRCP()
+    ``Prec.hpp:104-127``): QRCP by default, SYEIG for symmetric systems;
+    ``device`` routes the asymmetric QRCP factorization to the TPU."""
+    if symm:
+        return SYEIG()
+    return DeviceQRCP() if device else QRCP()

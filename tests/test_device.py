@@ -205,6 +205,25 @@ def test_device_ir_mixed_precision():
     res = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
     assert res <= 1e-12
 
+def test_device_tail_in_factorize():
+    """Options.device_tail routes the dense-tail QRCP factorization to the
+    device DURING factorize (SURVEY §7.2-L4); solve behavior must match
+    the host-QRCP-tail factorization."""
+    from hifir_tpu.small_scale.dense import DeviceQRCP
+
+    A = convdiff2d(24)
+    o = dict(tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3, kappa=5,
+             kappa_d=5, verbose=0, dense_thres=120)
+    Md = HIF().factorize(A, Options(device_tail=1, **o))
+    Mh = HIF().factorize(A, Options(**o))
+    assert isinstance(Md.precs[-1].dense_solver, DeviceQRCP)
+    assert Md.precs[-1].dense_solver.rank == Mh.precs[-1].dense_solver.rank
+    b = np.random.default_rng(2).standard_normal(A.nrows)
+    xd, xh = Md.solve(b), Mh.solve(b)
+    # same rank-revealing behavior; factors differ by orthogonal choices
+    np.testing.assert_allclose(xd, xh, rtol=1e-8, atol=1e-8 * np.abs(xh).max())
+
+
 
 def test_device_qrcp_factorization():
     """Jitted device QRCP (small_scale/qrcp_device.py) vs host factors."""
