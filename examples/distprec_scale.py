@@ -41,7 +41,8 @@ def nbytes(tree) -> int:
 
 def main():
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    chunk = sys.argv[2] if len(sys.argv) > 2 else "1024"
+    chunk = chunk if chunk == "auto" else int(chunk)
     A = poisson2d(nx)
     n = A.nrows
     print(f"n={n} nnz={A.nnz} chunk={chunk} devices={len(jax.devices())}")

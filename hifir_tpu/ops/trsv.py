@@ -147,9 +147,16 @@ def _choose_k_cap(dcount, lev, chunk):
     the unsplit cost by >=30% — the margin keeps heavy-tail regimes packing
     (that IS the target case) while narrow factors stay one-slot-per-row.
     """
+    cap, _ = _best_cap_and_cost(dcount, lev, chunk)
+    return cap
+
+
+def _best_cap_and_cost(dcount, lev, chunk):
     kmax = int(dcount.max()) if dcount.size else 0
     if kmax <= 4:
-        return None
+        K = max(kmax, 1)
+        return None, _schedule_cost(
+            _packed_slot_count(dcount, lev, chunk, max(K, 1)), K, chunk)
     base = _schedule_cost(_packed_slot_count(dcount, lev, chunk, kmax),
                           kmax, chunk)
     caps = []
@@ -164,12 +171,34 @@ def _choose_k_cap(dcount, lev, chunk):
         if cost < best_cost:
             best_cap, best_cost = cap, cost
     if best_cap is not None and best_cost > 0.7 * base:
-        return None
-    return best_cap
+        return None, base
+    return best_cap, best_cost
+
+
+def _choose_chunk(dcount, lev, multiple: int, upper: int):
+    """Joint (chunk, k_cap) choice minimizing the schedule cost model.
+
+    Deep factors have thousands of tiny dependency levels: a big chunk pays
+    a full chunk of padding per level (the dominant schedule-memory term at
+    scale), while a small chunk multiplies scan steps on shallow fat
+    factors.  Scan a power-of-two chunk grid (each a multiple of
+    ``multiple``, capped at ``upper``) with the best cap per chunk and keep
+    the cheapest pair.
+    """
+    c = multiple
+    while c < 8:
+        c *= 2
+    best = (c, None, float("inf"))
+    while c <= max(upper, multiple):
+        cap, cost = _best_cap_and_cost(dcount, lev, c)
+        if cost < best[2]:
+            best = (c, cap, cost)
+        c *= 2
+    return best[0], best[1]
 
 
 def build_trsv_schedule(T, lower: bool, chunk: int = 256, dtype=None,
-                        k_cap=None) -> TrsvSchedule:
+                        k_cap=None, chunk_multiple: int = 1) -> TrsvSchedule:
     """Build the device schedule for ``(I + strict(T))^{-1}``.
 
     ``T`` is a host CSR whose strict lower (or upper) triangle is the factor.
@@ -187,10 +216,11 @@ def build_trsv_schedule(T, lower: bool, chunk: int = 256, dtype=None,
     indptr, indices, data = T.indptr, T.indices, T.data
     zdt = data.dtype if dtype is None else dtype
     if n == 0:
+        c0 = 256 if chunk == "auto" else chunk
         return TrsvSchedule(jnp.zeros((0,), jnp.int32),
-                            jnp.zeros((0, chunk, 1), jnp.int32),
-                            jnp.zeros((0, chunk, 1), zdt),
-                            jnp.zeros((0,), jnp.int32), 0, 0, chunk, 0)
+                            jnp.zeros((0, c0, 1), jnp.int32),
+                            jnp.zeros((0, c0, 1), zdt),
+                            jnp.zeros((0,), jnp.int32), 0, 0, c0, 0)
 
     # strict dependency entries (vectorized); the pool is row-grouped so a
     # node's dependency list is one contiguous (start, len) slice of it
@@ -204,7 +234,14 @@ def build_trsv_schedule(T, lower: bool, chunk: int = 256, dtype=None,
 
     lev = _compute_levels(n, indptr, indices, lower)
 
-    if k_cap == "auto":
+    if chunk == "auto":
+        # per-factor chunk: pick (chunk, cap) jointly from the cost model
+        # (chunk respects ``chunk_multiple``, e.g. the mesh device count)
+        chunk, auto_cap = _choose_chunk(dcount, lev, max(chunk_multiple, 1),
+                                        upper=1024)
+        if k_cap == "auto":
+            k_cap = auto_cap
+    elif k_cap == "auto":
         k_cap = _choose_k_cap(dcount, lev, chunk)
 
     # ---- node table: rows first, then partial-sum nodes from splitting ----

@@ -316,7 +316,8 @@ class DistPrec:
         """
         dtype = jnp.float64 if dtype is None else dtype
         ndev = mesh.shape["rows"]
-        C = max(chunk, ndev)
+        auto_chunk = chunk == "auto"  # per-factor cost-model chunk choice
+        C = max(256 if auto_chunk else chunk, ndev)
         C -= C % ndev
         sh3 = NamedSharding(mesh, P(None, "rows", None))
         sh2 = NamedSharding(mesh, P("rows", None))
@@ -346,10 +347,13 @@ class DistPrec:
                     ag_comm += op.allgather_elems
                     n_halo += 1
                     return op
-            s = build_trsv_schedule(T, lower=lower, chunk=C, dtype=dtype,
-                                    k_cap="auto")
+            s = build_trsv_schedule(T, lower=lower,
+                                    chunk="auto" if auto_chunk else C,
+                                    dtype=dtype, k_cap="auto",
+                                    chunk_multiple=ndev)
+            Cop = s.chunk
             if shard_vectors and s.nchunks:
-                nslots = s.nchunks * C
+                nslots = s.nchunks * Cop
                 # pad the exit map to a device multiple; the sentinel slot
                 # nslots reads the appended zero and is trimmed by [:n]
                 out = np.asarray(s.out_slots)
@@ -362,13 +366,13 @@ class DistPrec:
                     cols=jax.device_put(s.cols, sh3),
                     vals=jax.device_put(s.vals, sh3),
                     out_slots=jax.device_put(jnp.asarray(out), sh1),
-                    nchunks=s.nchunks, chunk=C, n=s.n, sharded=True)
+                    nchunks=s.nchunks, chunk=Cop, n=s.n, sharded=True)
             return AGTrsvOp(
                 in_rows=jax.device_put(s.in_rows, rep),
                 cols=jax.device_put(s.cols, sh3),
                 vals=jax.device_put(s.vals, sh3),
                 out_slots=jax.device_put(s.out_slots, rep),
-                nchunks=s.nchunks, chunk=C, n=s.n)
+                nchunks=s.nchunks, chunk=Cop, n=s.n)
 
         levels = []
         prev_E_rows = None
