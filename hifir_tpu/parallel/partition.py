@@ -94,13 +94,15 @@ class PartitionedHIF:
                   overlap: Optional[int] = None,
                   threads: Optional[int] = None,
                   coarse: bool = True,
+                  coarse_dim: int = 1,
                   process_rank: Optional[int] = None,
                   process_count: Optional[int] = None) -> "PartitionedHIF":
         """Band, split, and factorize all extended diagonal blocks.
 
-        ``overlap=None`` auto-sizes the Schwarz overlap to the banded matrix
-        bandwidth (capped at a quarter block) — roughly one grid line of a
-        discretized PDE, which is what keeps the iteration growth flat.
+        ``overlap=None`` auto-sizes the Schwarz overlap to TWICE the banded
+        matrix bandwidth (capped at half a block) — about two grid lines of
+        a discretized PDE, the round-4 sweep's best iteration-growth
+        setting (examples/partition_study.py).
         ``threads`` caps the concurrent local factorizations (defaults to
         ``min(nparts, os.cpu_count())``).
 
@@ -146,20 +148,45 @@ class PartitionedHIF:
         self.perm = perm
         S = A.to_scipy()[perm, :][:, perm].tocsr()
         if overlap is None:
+            # two bandwidths (~two grid lines of a discretized PDE): the
+            # round-4 sweep (examples/partition_study.py, BASELINE.md) shows
+            # 1x-bw overlap costs ~40% more iterations at 16 parts while 2x
+            # keeps the growth flat in the partition count
             rows_nz = np.repeat(np.arange(n, dtype=np.int64),
                                 np.diff(S.indptr))
             bw = int(np.abs(rows_nz - S.indices).max()) if S.nnz else 0
-            overlap = min(max(bw, 8), int(bounds[1] - bounds[0]) // 4)
+            overlap = min(max(2 * bw, 8), int(bounds[1] - bounds[0]) // 2)
         self.overlap = overlap
 
         if coarse:
-            # piecewise-constant Galerkin coarse operator A_c = R A R^T
+            # Galerkin coarse operator A_c = R A R^T.  coarse_dim = q basis
+            # vectors per part: Chebyshev-like polynomials of the banded
+            # position within the part (q=1 is the classical piecewise-
+            # constant Nicolaides space; q>1 enriches with linear/quadratic
+            # modes, the cheap step toward GenEO-style robustness)
+            q = max(int(coarse_dim), 1)
+            self._coarse_dim = q
             part_of = np.searchsorted(bounds[1:], np.arange(n), side="right")
             self._part_of = part_of.astype(np.int64)
+            lo_of = bounds[:-1][part_of]
+            hi_of = bounds[1:][part_of]
+            t = (2.0 * (np.arange(n) - lo_of) / np.maximum(hi_of - lo_of - 1,
+                                                           1)) - 1.0
+            W = np.empty((q, n))
+            for j in range(q):
+                W[j] = np.polynomial.chebyshev.chebval(
+                    t, np.eye(q)[j])
+            self._coarse_w = W
             rows_nz = np.repeat(np.arange(n, dtype=np.int64),
                                 np.diff(S.indptr))
-            Ac = np.zeros((nparts, nparts), dtype=S.data.dtype)
-            np.add.at(Ac, (part_of[rows_nz], part_of[S.indices]), S.data)
+            nc = nparts * q
+            Ac = np.zeros((nc, nc), dtype=S.data.dtype)
+            ri = part_of[rows_nz] * q
+            ci = part_of[S.indices] * q
+            for ja in range(q):
+                for jb in range(q):
+                    np.add.at(Ac, (ri + ja, ci + jb),
+                              W[ja, rows_nz] * S.data * W[jb, S.indices])
             import scipy.linalg as sla
 
             self._coarse_lu = sla.lu_factor(Ac)
@@ -196,10 +223,15 @@ class PartitionedHIF:
     def _coarse_apply(self, bp: np.ndarray, trans: bool) -> np.ndarray:
         import scipy.linalg as sla
 
-        bc = np.zeros(self.nparts, dtype=bp.dtype)
-        np.add.at(bc, self._part_of, bp)
+        q = getattr(self, "_coarse_dim", 1)
+        bc = np.zeros(self.nparts * q, dtype=bp.dtype)
+        for j in range(q):
+            np.add.at(bc, self._part_of * q + j, self._coarse_w[j] * bp)
         xc = sla.lu_solve(self._coarse_lu, bc, trans=1 if trans else 0)
-        return xc[self._part_of]
+        out = np.zeros_like(bp)
+        for j in range(q):
+            out += self._coarse_w[j] * xc[self._part_of * q + j]
+        return out
 
     def local_contrib(self, b: np.ndarray, trans: bool = False) -> np.ndarray:
         """This process's additive share of the RAS apply, in ORIGINAL (not
