@@ -155,6 +155,8 @@ def ell_matvec(A, x: jax.Array) -> jax.Array:
 
 
 def sliced_ell_matvec(A: SlicedELL, x: jax.Array) -> jax.Array:
+    if not A.blocks:  # empty operator (0 rows): e.g. a level with m == n
+        return jnp.zeros((A.nrows,), dtype=x.dtype)
     x_ext = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
     parts = [(blk.values * x_ext[blk.indices]).sum(axis=1)
              for blk in A.blocks]
@@ -173,6 +175,8 @@ def ell_matvec_mrhs(A, X: jax.Array) -> jax.Array:
         return bsr_matvec_mrhs(A, Xp, interpret=interp)[:A.n]
     X_ext = jnp.concatenate([X, jnp.zeros((1, X.shape[1]), dtype=X.dtype)])
     if isinstance(A, SlicedELL):
+        if not A.blocks:  # empty operator (0 rows)
+            return jnp.zeros((A.nrows, X.shape[1]), dtype=X.dtype)
         parts = [jnp.einsum("rk,rkj->rj", blk.values, X_ext[blk.indices])
                  for blk in A.blocks]
         cat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from hifir_tpu.api import HIF
-from hifir_tpu.models import (convdiff2d, random_sparse,
+from hifir_tpu.models import (convdiff2d, poisson2d, random_sparse,
                               random_strict_triangular, saddle_point_stokes)
 from hifir_tpu.options import Options
 from hifir_tpu.ops import (build_trsv_schedule, ell_from_csr, ell_matvec,
@@ -366,3 +366,20 @@ def test_to_device_dtype_cache():
     assert d64 is not d32
     assert d64.levels[0].d.dtype == jnp.float64
     assert d32.levels[0].d.dtype == jnp.float32
+
+
+def test_device_solve_empty_ef_level():
+    """A factorization whose last level completes (m == n, empty E/F, no
+    dense tail) must pack and solve on device (regression: the round-4 AMD
+    produces such levels; sliced-ELL ops must handle zero blocks)."""
+    A = poisson2d(256)
+    o = Options(tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3, kappa=5,
+                kappa_d=5, verbose=0)
+    M = HIF().factorize(A, o)
+    if not any(p.m == p.n and p.E.nnz == 0 for p in M.precs):
+        import pytest
+        pytest.skip("no complete level produced for this configuration")
+    dp = M.to_device()
+    b = np.random.default_rng(1).standard_normal(A.nrows)
+    xd = np.asarray(dp.solve(jnp.asarray(b)))
+    np.testing.assert_allclose(xd, M.solve(b), rtol=1e-9, atol=1e-9)
