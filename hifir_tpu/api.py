@@ -14,6 +14,7 @@ function driving FGMRES/GMRES on TPU.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -126,6 +127,25 @@ class HIF:
             A = CSR(A.nrows, A.ncols, A.indptr, A.indices,
                     A.data.astype(want))
 
+        # auto-LDL^T dispatch: a provably symmetric real input runs the
+        # mode-1 mirror kernel end-to-end (half the Crout scan work, one
+        # stored triangular side per level until the splits).  The reference
+        # leaves this to the user (is_symm, ref Options.h:152); detection is
+        # one O(nnz) exact A == A^T test.  m0 > 0 keeps the reference's
+        # declared-leading-block semantics instead.
+        if (opts.symm_detect and not opts.is_symm and m0 == 0
+                and not opts.no_pre
+                and A.data.dtype == np.float64):
+            from .pre import _native as _nat
+
+            vs = _nat.value_symm(A.nrows, A.indptr, A.indices, A.data)
+            if vs is None:
+                AT = A.to_scipy()
+                vs = (AT != AT.T).nnz == 0
+            if vs:
+                opts = dataclasses.replace(opts, is_symm=1)
+                hif_info(opts, "detected exactly symmetric input; using the "
+                               "LDL^T path (symm_detect=0 disables)")
         t = Timer().start()
         n_first = A.nrows
         N = opts.N if opts.N >= 0 else n_first

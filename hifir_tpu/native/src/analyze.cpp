@@ -124,3 +124,38 @@ HT_API i64 ht_sym_leading_pattern(i64 n, const i64 *Ap, const i32 *Ai,
   }
   return w;
 }
+
+// exact value symmetry: returns 1 iff A == A^T entrywise (real f64).  Used
+// by the auto-LDL^T dispatch (hifir_tpu/api.py): a provably symmetric input
+// runs the mode-1 mirror kernel, halving the Crout scan work — the
+// reference only engages its symmetric path when the USER sets is_symm
+// (Options.h:152), leaving the speedup on the table for plain A.
+HT_API int ht_value_symm(i64 n, const i64 *indptr, const i32 *indices,
+                         const double *vals) {
+  const i64 nnz = indptr[n];
+  if (!nnz) return 1;
+  std::vector<i64> cptr(n + 1, 0);
+  for (i64 k = 0; k < nnz; ++k) ++cptr[indices[k] + 1];
+  for (i64 c = 0; c < n; ++c) cptr[c + 1] += cptr[c];
+  std::vector<i32> crow(nnz);
+  std::vector<double> cval(nnz);
+  {
+    std::vector<i64> nxt(cptr.begin(), cptr.end() - 1);
+    for (i64 i = 0; i < n; ++i)
+      for (i64 k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const i64 pos = nxt[indices[k]]++;
+        crow[pos] = (i32)i;
+        cval[pos] = vals[k];
+      }
+  }
+  // row i of A vs row i of A^T must be identical (both sorted by column)
+  for (i64 i = 0; i < n; ++i) {
+    const i64 a = indptr[i], b = cptr[i];
+    if (indptr[i + 1] - a != cptr[i + 1] - b) return 0;
+    const i64 len = indptr[i + 1] - a;
+    for (i64 k = 0; k < len; ++k)
+      if (indices[a + k] != crow[b + k] || vals[a + k] != cval[b + k])
+        return 0;
+  }
+  return 1;
+}

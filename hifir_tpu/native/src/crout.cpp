@@ -87,12 +87,88 @@ struct Adj {
   };
   std::vector<i32> head;
   std::vector<Node> pool;
+  Adj() = default;
   explicit Adj(i64 n, i64 reserve_nnz) : head(n, -1) {
     pool.reserve(reserve_nnz);
+  }
+  // reuse across calls: keep the pool's capacity, re-init the heads
+  void reset(i64 n, i64 reserve_nnz) {
+    head.assign(n, -1);
+    pool.clear();
+    pool.reserve(reserve_nnz);
+  }
+  void release() {
+    head = std::vector<i32>();
+    pool = std::vector<Node>();
   }
   inline void add(i64 id, i32 step, VT v) {
     pool.push_back(Node{head[id], step, v});
     head[id] = (i32)(pool.size() - 1);
+  }
+};
+
+template <class VT>
+struct DropEnt {
+  double key;
+  i32 id;
+  VT val;
+};
+
+// Cross-level scratch workspace for the serial Crout kernel + finalize.
+//
+// Production factorizations call crout_core once per level with the previous
+// levels' RESULT buffers still alive (zero-copy exported to numpy), so
+// per-call local vectors always sit on FRESH mmapped pages: every append in
+// the hot loop pays a first-touch fault, and the measured push phases ran
+// 3-4x slower in production than in warm same-process replays of the same
+// level (bench/bench_crout on the dumped level-2 operator: pushes 3.5 Gc
+// production-min vs 0.9 Gc warm).  Persisting the scratch across levels
+// (thread_local, capacity retained) makes every level after the fattest run
+// on already-touched memory.  HT_NO_WS=1 releases after each call (A/B).
+template <class VT>
+struct CroutWS {
+  struct TP { i32 tag; i32 pos; };
+  std::vector<i64> Cp;
+  std::vector<i32> Ci;
+  std::vector<VT> Cv;
+  Adj<VT> rows_of_L, cols_of_U, tail_of_L;
+  std::vector<VT> d;
+  std::vector<unsigned char> status;
+  std::vector<i64> Lptr, Uptr, Lend, Uend;
+  std::vector<i32> Lids, Uids;
+  std::vector<VT> Lvals, Uvals;
+  std::vector<VT> dvec, kap_u, kap_l;
+  std::vector<i64> deferred;
+  std::vector<TP> wu, wl;
+  std::vector<i32> ut_ids, l_ids;
+  std::vector<VT> utv, lv;
+  std::vector<DropEnt<VT>> keep;
+  std::vector<i32> adjU_j, adjL_j;
+  std::vector<VT> adjU_v, adjL_v;
+  // finalize scratch
+  std::vector<i64> posR, posC;
+  std::vector<i32> pcs, upos, lpos;
+  std::vector<i64> UFp, LEp, scr_ne, scr_nf;
+  std::vector<i32> UFi, LEi;
+  std::vector<VT> UFv, LEv;
+  std::vector<i64> SloP;  // lower-triangular Schur product (symmetric levels)
+  std::vector<i32> SloI;
+  std::vector<VT> SloV;
+  std::vector<i64> ordR;
+  static CroutWS &get() {
+    static thread_local CroutWS ws;
+    return ws;
+  }
+  void maybe_release() {
+    // default: RELEASE after each call.  Retaining the high-water scratch
+    // across levels was measured SLOWER end-to-end on this host (interleaved
+    // 1M-robust battery: retain min 17.4 s vs release min 16.0 s) — memory
+    // retention draws hypervisor pressure, the same effect as the r3
+    // HT_POOL/HT_MALLOC_TUNE negative results.  HT_WS=1 opts in to
+    // retention for hosts where RSS is free.
+    static const bool retain =
+        std::getenv("HT_WS") && std::getenv("HT_WS")[0] == '1';
+    if (!retain) *this = CroutWS();
   }
 };
 
@@ -159,13 +235,6 @@ void kappa_minmax(const std::vector<VT> &ku, const std::vector<VT> &kl,
 // start_size > 0 charges already-committed (mirrored) entries against the
 // space cap (ref apply_space_dropping start_size arg, thresholds.hpp:72-86)
 template <class VT>
-struct DropEnt {
-  double key;
-  i32 id;
-  VT val;
-};
-
-template <class VT>
 inline i64 drop_vec(const i32 *ids, const VT *vals, i64 cnt,
                     double tau, double kap, double alpha, i64 nnz_ref,
                     i64 &n_num, i64 &n_space,
@@ -226,7 +295,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
                    const std::vector<i64> &Lptr, const std::vector<i32> &Lids,
                    const std::vector<VT> &Lvals, const std::vector<i64> &Uptr,
                    const std::vector<i32> &Uids, const std::vector<VT> &Uvals,
-                   const std::vector<VT> &dvec) {
+                   const std::vector<VT> &dvec, bool sym = false) {
   const bool prof = std::getenv("HT_PROFILE") != nullptr;
   auto tprev = std::chrono::steady_clock::now();
   auto mark = [&](const char *what) {
@@ -237,8 +306,12 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
                      .count());
     tprev = now;
   };
-  // position maps for (possibly distinct) row/col orderings
-  std::vector<i64> posR(n), posC(n);
+  // position maps for (possibly distinct) row/col orderings; big scratch
+  // comes from the cross-level workspace (see CroutWS)
+  CroutWS<VT> &ws = CroutWS<VT>::get();
+  std::vector<i64> &posR = ws.posR, &posC = ws.posC;
+  posR.resize(n);
+  posC.resize(n);
   for (i64 k = 0; k < n; ++k) posR[ordR[k]] = k;
   for (i64 k = 0; k < n; ++k) posC[ordC[k]] = k;
   res->ord.assign(ordR.begin(), ordR.end());
@@ -250,9 +323,15 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   // machine has >=2 cores and each block alone is single-threaded
   // counting-sort work).
   const i64 nm = n - m;
-  std::vector<i64> UFp(m + 1, 0), LEp(nm + 1, 0);
-  std::vector<i32> UFi, LEi;
-  std::vector<VT> UFv, LEv;
+  std::vector<i64> &UFp = ws.UFp, &LEp = ws.LEp;
+  std::vector<i32> &UFi = ws.UFi, &LEi = ws.LEi;
+  std::vector<VT> &UFv = ws.UFv, &LEv = ws.LEv;
+  UFp.assign(m + 1, 0);
+  LEp.assign(nm + 1, 0);
+  UFi.clear();
+  LEi.clear();
+  UFv.clear();
+  LEv.clear();
 #pragma omp parallel sections num_threads(2) if (Ap[n] > 1 << 20)
  {
 #pragma omp section
@@ -260,11 +339,66 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
   // ---- E / F blocks of Ahat in final ordering (ref extract_E/F,
   // factor.hpp:185-368), assembled with counting sort, O(nnz).  The posC
   // map is gathered ONCE into a sequential i32 scratch (the gather is the
-  // random-access cost; the count and fill passes then stream it) ----
-  {
+  // random-access cost; the count and fill passes then stream it).
+  // Symmetric (LDL^T) levels extract only E from the tail rows and mirror
+  // F = E^T by counting transpose (Ahat is exactly symmetric there). ----
+  if (sym) {
+    res->Ep.assign(nm0 + 1, 0);
+    std::vector<i32> &pcs = ws.pcs;
+    pcs.resize(Ap[n]);
+    for (i64 prow = m; prow < n; ++prow) {
+      const i64 arow = ordR[prow];
+      i64 w = Ap[arow];
+      for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+        const i64 pc = posC[Ai[k]];
+        pcs[w++] = (i32)pc;
+        if (pc < m) ++res->Ep[prow - m + 1];
+      }
+    }
+    for (i64 i = 0; i < nm0; ++i) res->Ep[i + 1] += res->Ep[i];
+    res->Ei.resize(res->Ep[nm0]);
+    res->Ev.resize(res->Ep[nm0]);
+    {
+      std::vector<i64> ne(res->Ep.begin(), res->Ep.end() - 1);
+      struct PEnt { i32 c; VT v; };
+      std::vector<PEnt> rowbuf, rowtmp;
+      for (i64 prow = m; prow < n; ++prow) {
+        const i64 arow = ordR[prow];
+        rowbuf.clear();
+        for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
+          const i64 pc = pcs[k];
+          if (pc < m) rowbuf.push_back({(i32)pc, Av[k]});
+        }
+        ht::radix_sort_by_key(rowbuf.data(), (i64)rowbuf.size(), rowtmp,
+                              (i32)m, [](const PEnt &e) { return e.c; });
+        i64 &w = ne[prow - m];
+        for (auto &e : rowbuf) {
+          res->Ei[w] = e.c;
+          res->Ev[w++] = e.v;
+        }
+      }
+    }
+    // F = E^T (m x nm0), rows sorted by construction
+    res->Fp.assign(m + 1, 0);
+    const i64 enz = res->Ep[nm0];
+    for (i64 k = 0; k < enz; ++k) ++res->Fp[res->Ei[k] + 1];
+    for (i64 j = 0; j < m; ++j) res->Fp[j + 1] += res->Fp[j];
+    res->Fi.resize(enz);
+    res->Fv.resize(enz);
+    {
+      std::vector<i64> nx(res->Fp.begin(), res->Fp.end() - 1);
+      for (i64 i = 0; i < nm0; ++i)
+        for (i64 k = res->Ep[i]; k < res->Ep[i + 1]; ++k) {
+          const i64 pos = nx[res->Ei[k]]++;
+          res->Fi[pos] = (i32)i;
+          res->Fv[pos] = res->Ev[k];
+        }
+    }
+  } else {
     res->Ep.assign(nm0 + 1, 0);
     res->Fp.assign(m + 1, 0);
-    std::vector<i32> pcs(Ap[n]);
+    std::vector<i32> &pcs = ws.pcs;
+    pcs.resize(Ap[n]);
     for (i64 prow = 0; prow < n; ++prow) {
       const i64 arow = ordR[prow];
       i64 w = Ap[arow];
@@ -316,10 +450,15 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
 #pragma omp section
  {
   // ---- split U rows into U_B (CSR, cols < m) and U_F^T rows; L columns into
-  // L_B (transposed to CSR) and L_E rows ----
+  // L_B (transposed to CSR) and L_E rows.  Symmetric (LDL^T) levels never
+  // materialized U in the Crout loop: U_B = L_B^T is rebuilt by counting
+  // transpose after the L split, and U_F = (dropped L_E)^T after the drop
+  // (skipping the whole U split AND the U_F drop). ----
+  if (!sym) {
   // U_B CSR (row per step), U_F as CSC (column j of U -> tail cols)
   res->Up.assign(m + 1, 0);
-  std::vector<i32> upos(Uptr[m]);  // posC gathered once (see EF note)
+  std::vector<i32> &upos = ws.upos;  // posC gathered once (see EF note)
+  upos.resize(Uptr[m]);
   for (i64 j = 0; j < m; ++j) {
     for (i64 k = Uptr[j]; k < Uptr[j + 1]; ++k) {
       const i64 pc = posC[Uids[k]];
@@ -353,8 +492,6 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         }
       }
   }
-  upos.clear();
-  upos.shrink_to_fit();
   // sort U_B rows by column: space dropping caps each row at
   // ceil(alpha*nnz_ref), so small cache-hot per-row sorts beat the two
   // full counting-transpose passes over m-wide scatter arrays
@@ -381,11 +518,13 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       }
     }
   }
+  }  // !sym (U split)
 
   // L columns -> split into L_B (m x m, want CSR) and L_E ((n-m) x m CSR)
   // first count rows
   res->Lp.assign(m + 1, 0);
-  std::vector<i32> lpos(Lptr[m]);  // posR gathered once (see EF note)
+  std::vector<i32> &lpos = ws.lpos;  // posR gathered once (see EF note)
+  lpos.resize(Lptr[m]);
   for (i64 j = 0; j < m; ++j)
     for (i64 k = Lptr[j]; k < Lptr[j + 1]; ++k) {
       const i64 pr = posR[Lids[k]];
@@ -416,8 +555,22 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         }
       }
   }
-  lpos.clear();
-  lpos.shrink_to_fit();
+  if (sym) {
+    // U_B = L_B^T by counting transpose (rows come out column-sorted)
+    res->Up.assign(m + 1, 0);
+    const i64 lbz = res->Lp[m];
+    for (i64 k = 0; k < lbz; ++k) ++res->Up[res->Li[k] + 1];
+    for (i64 j = 0; j < m; ++j) res->Up[j + 1] += res->Up[j];
+    res->Ui.resize(lbz);
+    res->Uv.resize(lbz);
+    std::vector<i64> nx(res->Up.begin(), res->Up.end() - 1);
+    for (i64 i = 0; i < m; ++i)
+      for (i64 k = res->Lp[i]; k < res->Lp[i + 1]; ++k) {
+        const i64 pos = nx[res->Li[k]]++;
+        res->Ui[pos] = (i32)i;
+        res->Uv[pos] = res->Lv[k];
+      }
+  }
  }  // omp section (U/L splits)
  }  // omp parallel sections
 
@@ -478,8 +631,11 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
     }
 #pragma omp section
     // U_F columns: cap ceil(schur_aU * col_ref[ord[m+j]]); UF stored per
-    // source row (CSC of U_F); dropping is per *column* of U_F == per tail col
-    if (schur_aU > 0.0) {
+    // source row (CSC of U_F); dropping is per *column* of U_F == per tail
+    // col.  Skipped on symmetric levels: U_F = (dropped L_E)^T is built
+    // below (row_ref == col_ref and identical tie order make the two drop
+    // selections exactly transposed).
+    if (!sym && schur_aU > 0.0) {
       // build column-major counts of UF: column c in [0, nm)
       std::vector<i64> colcnt(nm, 0);
       for (i64 k = 0; k < (i64)UFi.size(); ++k) ++colcnt[UFi[k]];
@@ -533,6 +689,24 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
     }
    }  // omp sections
 
+    if (sym) {
+      // U_F = (dropped L_E)^T in the per-source-row layout the Schur loop
+      // consumes (UF[j] = {(tail row i, L_E[i,j])}, i ascending)
+      const i64 lez = LEp[nm];
+      UFp.assign(m + 1, 0);
+      for (i64 k = 0; k < lez; ++k) ++UFp[LEi[k] + 1];
+      for (i64 j = 0; j < m; ++j) UFp[j + 1] += UFp[j];
+      UFi.resize(lez);
+      UFv.resize(lez);
+      std::vector<i64> nx(UFp.begin(), UFp.end() - 1);
+      for (i64 i = 0; i < nm; ++i)
+        for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
+          const i64 pos = nx[LEi[k]]++;
+          UFi[pos] = (i32)i;
+          UFv[pos] = LEv[k];
+        }
+    }
+
     mark("LE_UF_drop");
     // ---- Schur: S = Ahat[tail, tail] - L_E D U_F (ref Schur.hpp:214),
     // static row halves on two threads with per-thread accumulators,
@@ -541,7 +715,15 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
     // then every row writes its sorted output DIRECTLY at its exact final
     // offset — no growable per-thread buffers (vector doubling was copying
     // the whole output multiple times) and no merge memcpy ----
-    res->Sp.assign(nm + 1, 0);
+    // Symmetric (LDL^T) levels compute only the LOWER triangle of
+    // S = C - L_E D L_E^T (UF[j] row lists are ascending, so each (i,j)
+    // pair's term range is cut at c <= i by one binary search) and mirror
+    // the strict-lower entries afterwards — S comes out bit-symmetric and
+    // the term count halves.
+    std::vector<i64> &Sp_o = sym ? ws.SloP : res->Sp;
+    std::vector<i32> &Si_o = sym ? ws.SloI : res->Si;
+    std::vector<VT> &Sv_o = sym ? ws.SloV : res->Sv;
+    Sp_o.assign(nm + 1, 0);
     const int nthr = nm >= 4096 ? 2 : 1;
 #pragma omp parallel num_threads(nthr) if (nthr > 1)
     {
@@ -557,9 +739,13 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       // the f64 Python anchor (_compute_schur).  Accuracy is governed by the
       // dropping thresholds (tau ~ 1e-4 rel), not the e-19 accumulator tail;
       // GMRES iteration parity (Stokes 2, 1M Poisson 39) is re-verified.
-      std::vector<VT> acc(nm, VT(0.0));
-      std::vector<i32> stag(nm, -1);
-      std::vector<i32> srow;
+      // per-OMP-worker persistent scratch (workers are reused across
+      // levels, so these stay on touched pages like the CroutWS fields)
+      static thread_local std::vector<VT> acc;
+      static thread_local std::vector<i32> stag, srow;
+      acc.assign(nm, VT(0.0));
+      stag.assign(nm, -1);
+      srow.clear();
       i64 nterms = 0;
       unsigned long long cyc_a = 0, cyc_t = 0, cyc_s = 0, cyc_p = 0,
                          cyc_srt = 0, cyc_c = 0, tq = 0;
@@ -589,23 +775,39 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
           i64 cnt = 0;
           for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
             const i64 pc = posC[Ai[k]];
-            if (pc >= m) {
+            if (pc >= m && (!sym || pc - m <= i)) {
               ptag[pc - m] = itag;
               ++cnt;
             }
           }
-          for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
-            const i32 j = lei[k];
-            const i64 e0 = ufp[j], e1 = ufp[j + 1];
-            for (i64 kk = e0; kk < e1; ++kk) {
-              const i32 c = ufi[kk];
-              if (ptag[c] != itag) {
-                ptag[c] = itag;
-                ++cnt;
+          if (sym) {
+            // UF[j] lists ascend; stop at the first c > i (lower triangle)
+            for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
+              const i32 j = lei[k];
+              const i64 e0 = ufp[j], e1 = ufp[j + 1];
+              for (i64 kk = e0; kk < e1; ++kk) {
+                const i32 c = ufi[kk];
+                if (c > (i32)i) break;
+                if (ptag[c] != itag) {
+                  ptag[c] = itag;
+                  ++cnt;
+                }
+              }
+            }
+          } else {
+            for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
+              const i32 j = lei[k];
+              const i64 e0 = ufp[j], e1 = ufp[j + 1];
+              for (i64 kk = e0; kk < e1; ++kk) {
+                const i32 c = ufi[kk];
+                if (ptag[c] != itag) {
+                  ptag[c] = itag;
+                  ++cnt;
+                }
               }
             }
           }
-          res->Sp[i + 1] = cnt;
+          Sp_o[i + 1] = cnt;
         }
       }
       std::memset(stag.data(), 0xff, stag.size() * sizeof(i32));
@@ -613,12 +815,12 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
 #pragma omp barrier
 #pragma omp single
       {
-        for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] += res->Sp[i];
-        res->Si.resize(res->Sp[nm]);
-        res->Sv.resize(res->Sp[nm]);
+        for (i64 i = 0; i < nm; ++i) Sp_o[i + 1] += Sp_o[i];
+        Si_o.resize(Sp_o[nm]);
+        Sv_o.resize(Sp_o[nm]);
       }  // implicit barrier
-      i32 *HT_RESTRICT psi = res->Si.data();
-      VT *HT_RESTRICT psv = res->Sv.data();
+      i32 *HT_RESTRICT psi = Si_o.data();
+      VT *HT_RESTRICT psv = Sv_o.data();
       // ---- pass 2: numeric, written at exact final offsets ----
       for (int chunk = tid; chunk < nthr; chunk += team) {
       const i64 lo = (i64)chunk * nm / nthr, hi = (i64)(chunk + 1) * nm / nthr;
@@ -629,7 +831,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         HTS_TIC();
         for (i64 k = Ap[arow]; k < Ap[arow + 1]; ++k) {
           const i64 pc = posC[Ai[k]];
-          if (pc >= m) {
+          if (pc >= m && (!sym || pc - m <= i)) {
             const i64 c = pc - m;
             acc[c] = Av[k];
             stag[c] = itag;
@@ -638,19 +840,38 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         }
         HTS_TOC(cyc_a);
         HTS_TIC();
-        for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
-          const i32 j = lei[k];
-          const VT ldv = lev[k] * pdv[j];
-          const i64 e0 = ufp[j], e1 = ufp[j + 1];
-          nterms += e1 - e0;
-          for (i64 kk = e0; kk < e1; ++kk) {
-            const i32 c = ufi[kk];
-            if (ptag[c] != itag) {
-              pacc[c] = -ldv * ufv[kk];
-              ptag[c] = itag;
-              srow.push_back(c);
-            } else
-              pacc[c] -= ldv * ufv[kk];
+        if (sym) {
+          for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
+            const i32 j = lei[k];
+            const VT ldv = lev[k] * pdv[j];
+            const i64 e0 = ufp[j], e1 = ufp[j + 1];
+            for (i64 kk = e0; kk < e1; ++kk) {
+              const i32 c = ufi[kk];
+              if (c > (i32)i) break;
+              ++nterms;
+              if (ptag[c] != itag) {
+                pacc[c] = -ldv * ufv[kk];
+                ptag[c] = itag;
+                srow.push_back(c);
+              } else
+                pacc[c] -= ldv * ufv[kk];
+            }
+          }
+        } else {
+          for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
+            const i32 j = lei[k];
+            const VT ldv = lev[k] * pdv[j];
+            const i64 e0 = ufp[j], e1 = ufp[j + 1];
+            nterms += e1 - e0;
+            for (i64 kk = e0; kk < e1; ++kk) {
+              const i32 c = ufi[kk];
+              if (ptag[c] != itag) {
+                pacc[c] = -ldv * ufv[kk];
+                ptag[c] = itag;
+                srow.push_back(c);
+              } else
+                pacc[c] -= ldv * ufv[kk];
+            }
           }
         }
         HTS_TOC(cyc_t);
@@ -666,7 +887,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
                               (i32)nm, [](const SEnt &e) { return e.c; });
         HTS_TOC(cyc_srt);
         HTS_TIC();
-        const i64 base = res->Sp[i];
+        const i64 base = Sp_o[i];
         for (size_t tpos = 0; tpos < rowbuf.size(); ++tpos) {
           psi[base + tpos] = rowbuf[tpos].c;
           psv[base + tpos] = rowbuf[tpos].v;
@@ -685,6 +906,37 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
                      cyc_srt * 1e-9, cyc_p * 1e-9);
 #undef HTS_TIC
 #undef HTS_TOC
+    }
+    if (sym) {
+      // mirror the strict-lower entries: full row i = [lower (c <= i),
+      // sorted] ++ [mirrored (c > i) in ascending c] — concatenation stays
+      // sorted and the values are bit-copied, so S is bit-symmetric
+      const std::vector<i64> &Lo = ws.SloP;
+      const std::vector<i32> &LoI = ws.SloI;
+      const std::vector<VT> &LoV = ws.SloV;
+      res->Sp.assign(nm + 1, 0);
+      for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] = Lo[i + 1] - Lo[i];
+      // every strict-lower entry (i, c), c < i, mirrors into row c
+      for (i64 i = 0; i < nm; ++i)
+        for (i64 k = Lo[i]; k < Lo[i + 1]; ++k)
+          if (LoI[k] != (i32)i) ++res->Sp[LoI[k] + 1];
+      for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] += res->Sp[i];
+      res->Si.resize(res->Sp[nm]);
+      res->Sv.resize(res->Sp[nm]);
+      std::vector<i64> nx(res->Sp.begin(), res->Sp.end() - 1);
+      for (i64 i = 0; i < nm; ++i)
+        for (i64 k = Lo[i]; k < Lo[i + 1]; ++k) {
+          res->Si[nx[i]] = LoI[k];
+          res->Sv[nx[i]++] = LoV[k];
+        }
+      for (i64 i = 0; i < nm; ++i)
+        for (i64 k = Lo[i]; k < Lo[i + 1]; ++k) {
+          const i32 c = LoI[k];
+          if (c != (i32)i) {
+            res->Si[nx[c]] = (i32)i;
+            res->Sv[nx[c]++] = LoV[k];
+          }
+        }
     }
     mark("Schur");
   } else {
@@ -1054,10 +1306,12 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
                              schur_aL, schur_aU);
   }
 
-  // CSC of Ahat
-  std::vector<i64> Cp;
-  std::vector<i32> Ci;
-  std::vector<VT> Cv;
+  // CSC of Ahat (all big scratch lives in the cross-level workspace; see
+  // CroutWS)
+  CroutWS<VT> &ws = CroutWS<VT>::get();
+  std::vector<i64> &Cp = ws.Cp;
+  std::vector<i32> &Ci = ws.Ci;
+  std::vector<VT> &Cv = ws.Cv;
   ht::transpose_csr(n, n, Ap, Ai, Av, Cp, Ci, Cv);
   if (std::getenv("HT_PROFILE")) {
     auto t_tr = std::chrono::steady_clock::now();
@@ -1066,13 +1320,18 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
                      .count());
   }
 
-  std::vector<VT> d(d0, d0 + m2);
-  std::vector<unsigned char> status(n, 0);  // 0 pending 1 accepted 2 deferred
+  std::vector<VT> &d = ws.d;
+  d.assign(d0, d0 + m2);
+  std::vector<unsigned char> &status = ws.status;
+  status.assign(n, 0);  // 0 pending 1 accepted 2 deferred
   const i64 rsv = Ap[n] * 4 + 16;
-  Adj<VT> rows_of_L(mir ? 0 : n, mir ? 0 : rsv), cols_of_U(n, rsv);
+  Adj<VT> &rows_of_L = ws.rows_of_L, &cols_of_U = ws.cols_of_U;
+  rows_of_L.reset(mir ? 0 : n, mir ? 0 : rsv);
+  cols_of_U.reset(n, rsv);
   // mode-2 tail views of L columns, keyed by step j; node.step holds the
   // row id (the reference's symm_update_lstart L_offsets play this role)
-  Adj<VT> tail_of_L(mir ? m2 + 1 : 0, mir ? (Ap[n] + 16) : 0);
+  Adj<VT> &tail_of_L = ws.tail_of_L;
+  tail_of_L.reset(mir ? m2 + 1 : 0, mir ? (Ap[n] + 16) : 0);
   auto spill_mirror = [&](i64 idv) {
     // on deferral the mirrored entries of idv move from the (implicit)
     // leading parts into the tail views (ref defer_entry index rotation)
@@ -1084,12 +1343,31 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   // each row -- consumed (accepted) entries are swapped to the tail so the
   // hot scans only visit remaining entries (the reference gets the same
   // effect from its advancing start positions, Crout.hpp:428)
-  std::vector<i64> Lptr{0}, Uptr{0};
-  std::vector<i64> Lend, Uend;
-  std::vector<i32> Lids, Uids;
-  std::vector<VT> Lvals, Uvals;
-  std::vector<VT> dvec, kap_u, kap_l;
-  std::vector<i64> deferred;
+  std::vector<i64> &Lptr = ws.Lptr, &Uptr = ws.Uptr;
+  std::vector<i64> &Lend = ws.Lend, &Uend = ws.Uend;
+  std::vector<i32> &Lids = ws.Lids, &Uids = ws.Uids;
+  std::vector<VT> &Lvals = ws.Lvals, &Uvals = ws.Uvals;
+  std::vector<VT> &dvec = ws.dvec, &kap_u = ws.kap_u, &kap_l = ws.kap_l;
+  std::vector<i64> &deferred = ws.deferred;
+  Lptr.assign(1, 0);
+  Uptr.assign(1, 0);
+  Lend.clear();
+  Uend.clear();
+  Lids.clear();
+  Uids.clear();
+  Lvals.clear();
+  Uvals.clear();
+  dvec.clear();
+  kap_u.clear();
+  kap_l.clear();
+  deferred.clear();
+  Lptr.reserve(m2 + 1);
+  Uptr.reserve(m2 + 1);
+  Lend.reserve(m2);
+  Uend.reserve(m2);
+  dvec.reserve(m2);
+  kap_u.reserve(m2);
+  kap_l.reserve(m2);
 
   // scatter workspaces hold only {step tag, position}; the candidate
   // VALUES live in compact append-order buffers (utv/lv parallel to
@@ -1104,26 +1382,32 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   // visited entry (wu/wl) instead of two (status byte + tag word), which is
   // the dominant cost of this latency-bound loop (~150M visits per fat
   // level at 1M rows)
-  struct TP { i32 tag; i32 pos; };
+  using TP = typename CroutWS<VT>::TP;
   constexpr i32 TOMB = -2;  // never equals a step stamp (>= 0) or init -1
-  std::vector<TP> wu(n, TP{-1, 0}), wl(n, TP{-1, 0});
+  std::vector<TP> &wu = ws.wu, &wl = ws.wl;
+  wu.assign(n, TP{-1, 0});
+  wl.assign(n, TP{-1, 0});
   // candidate buffers are preallocated at full width and written by index
   // (counts nu/nl) so the hot scans can do an UNCONDITIONAL append-slot
   // store and select the target position branchlessly — the new-vs-seen
   // branch is data-dependent (~25% new) and its mispredicts dominate the
   // otherwise cache-resident scan (+1 slot for the dead store when the
   // final visit is a duplicate)
-  std::vector<i32> ut_ids(n + 1), l_ids(n + 1);
-  std::vector<VT> utv(n + 1), lv(n + 1);
-  std::vector<DropEnt<VT>> keep;
+  std::vector<i32> &ut_ids = ws.ut_ids, &l_ids = ws.l_ids;
+  std::vector<VT> &utv = ws.utv, &lv = ws.lv;
+  ut_ids.resize(n + 1);
+  l_ids.resize(n + 1);
+  utv.resize(n + 1);
+  lv.resize(n + 1);
+  std::vector<DropEnt<VT>> &keep = ws.keep;
   Lids.reserve(rsv); Lvals.reserve(rsv);
   Uids.reserve(rsv); Uvals.reserve(rsv);
   // adjacency stashes: the kappa walk is the COLD traversal of the two
   // per-id linked lists (~100 cycles/node); stashing (step, val) into these
   // compact buffers lets the ut/l outer loops re-read them sequentially
   // instead of re-chasing the same cold pointers a second time
-  std::vector<i32> adjU_j, adjL_j;
-  std::vector<VT> adjU_v, adjL_v;
+  std::vector<i32> &adjU_j = ws.adjU_j, &adjL_j = ws.adjL_j;
+  std::vector<VT> &adjU_v = ws.adjU_v, &adjL_v = ws.adjL_v;
 
   const bool prof2 = std::getenv("HT_PROFILE2") != nullptr;
   unsigned long long n_ut_vis = 0, n_l_vis = 0, n_kap_vis = 0,
@@ -1452,15 +1736,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       for (i64 k = 0; k < kept; ++k)
         rows_of_L.add(keep[k].id, (i32)step, keep[k].val);
     }
-    if (ldlt) {
-      // mirror U row = kept l entries (U = L^T in LDL^T)
-      for (i64 k = 0; k < kept; ++k) {
-        Uids.push_back(keep[k].id);
-        Uvals.push_back(keep[k].val);
-      }
-      Uptr.push_back((i64)Uids.size());
-      Uend.push_back((i64)Uids.size());
-    }
+    // (LDL^T: U is NOT materialized — U = L^T is reconstructed by the
+    // symmetric finalize via counting transposes of L_B / dropped L_E)
     HT_TOC2(c_push);
     res->stats[4] += nnum + nsp;
     res->stats[3] += nsp;
@@ -1511,7 +1788,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   kappa_minmax(kap_u, kap_l, res->kmm);
 
   // ---- final ordering (rows == cols for the non-pivoting kernel) ----
-  std::vector<i64> ordR;
+  std::vector<i64> &ordR = ws.ordR;
+  ordR.clear();
   ordR.reserve(n);
   for (i64 id = 0; id < m2; ++id)
     if (status[id] == 1) ordR.push_back(id);
@@ -1519,7 +1797,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   for (i64 id : deferred) ordR.push_back(id);
   finalize_core<VT>(res, n, m, Ap, Ai, Av, row_ref, col_ref, schur_aL,
                     schur_aU, ordR, ordR, Lptr, Lids, Lvals, Uptr, Uids,
-                    Uvals, dvec);
+                    Uvals, dvec, /*sym=*/ldlt);
   if (prof) {
     auto t_end = std::chrono::steady_clock::now();
     auto ms = [](auto a, auto b) {
@@ -1530,6 +1808,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
                  (long long)n, (long long)m, ms(t_begin, t_loop_end),
                  ms(t_loop_end, t_end));
   }
+  ws.maybe_release();
   return res;
 }
 

@@ -103,6 +103,10 @@ class Options:
     use_native: int = 1       # use the compiled C++ host kernels when available
     dist_schur: int = 0       # distributed ring-SpGEMM Schur over the mesh
     device_tail: int = 0      # factorize the dense tail on the TPU (QRCP)
+    symm_detect: int = 1      # auto-engage the LDL^T path on exactly
+                              # symmetric real input (halves Crout scan work;
+                              # the reference requires the user to set
+                              # is_symm, Options.h:152)
 
     # -- introspection ------------------------------------------------------
     _REF_FIELDS = (
@@ -121,7 +125,7 @@ class Options:
         """
         if (name not in self._REF_FIELDS
                 and name not in ("dtype", "use_native", "dist_schur",
-                                 "device_tail")):
+                                 "device_tail", "symm_detect")):
             return True
         field_types = {f.name: f.type for f in dataclasses.fields(self)}
         ty = field_types[name]

@@ -322,6 +322,9 @@ def rcm(n: int, indptr: np.ndarray, indices: np.ndarray) -> Optional[np.ndarray]
     return perm
 
 
+_dump_counter = [0]  # HT_DUMP_CROUT call index (see crout below)
+
+
 def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
                                                      float, float, float],
           row_ref: np.ndarray, col_ref: np.ndarray,
@@ -347,6 +350,25 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
         a = np.ascontiguousarray(a, dtype=vdt)
         return a.view(scal)
 
+    dump = os.environ.get("HT_DUMP_CROUT")
+    if dump and vdt == np.float64:
+        # "<call_idx>:<path>" — dump this crout call's inputs as the raw
+        # binary consumed by native/bench/bench_crout (controlled kernel
+        # replays on the noisy build host; see benchmarks/README)
+        di, dpath = dump.split(":", 1)
+        if _dump_counter[0] == int(di):
+            with open(dpath, "wb") as f:
+                np.array([n, m2, Ahat.indptr[-1], int(symmetric)],
+                         dtype=np.int64).tofile(f)
+                np.array(list(pars) + [schur_aL, schur_aU],
+                         dtype=np.float64).tofile(f)
+                np.ascontiguousarray(Ahat.indptr, dtype=np.int64).tofile(f)
+                np.ascontiguousarray(Ahat.indices, dtype=np.int32).tofile(f)
+                np.ascontiguousarray(Ahat.data, dtype=np.float64).tofile(f)
+                np.ascontiguousarray(d0, dtype=np.float64).tofile(f)
+                np.ascontiguousarray(row_ref, dtype=np.int64).tofile(f)
+                np.ascontiguousarray(col_ref, dtype=np.int64).tofile(f)
+        _dump_counter[0] += 1
     fn = getattr(lib, sym)
     h = fn(n, m2, Ahat.indptr, Ahat.indices, _as_scal(Ahat.data),
            _as_scal(np.asarray(d0, dtype=vdt)),
@@ -511,6 +533,24 @@ def pattern_symm(n: int, indptr: np.ndarray, indices: np.ndarray):
     return float(lib.ht_pattern_symm(
         n, np.ascontiguousarray(indptr, dtype=np.int64),
         np.ascontiguousarray(indices, dtype=np.int32)))
+
+
+def value_symm(n: int, indptr: np.ndarray, indices: np.ndarray,
+               vals: np.ndarray) -> Optional[bool]:
+    """Exact A == A^T test (real f64) for the auto-LDL^T dispatch; None if
+    the native library is unavailable (callers fall back to scipy)."""
+    lib = _load()
+    if lib is None or vals.dtype != np.float64:
+        return None
+    if not hasattr(lib, "_has_vsym"):
+        lib._has_vsym = _bind(lib, "ht_value_symm", ctypes.c_int,
+                              [ctypes.c_int64, _I64, _I32, _F64])
+    if not lib._has_vsym:
+        return None
+    return bool(lib.ht_value_symm(
+        n, np.ascontiguousarray(indptr, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.int32),
+        np.ascontiguousarray(vals, dtype=np.float64)))
 
 
 def defer_probe(A, m0: int, p: np.ndarray, q: np.ndarray):

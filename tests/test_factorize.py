@@ -365,8 +365,10 @@ def test_mt_serial_bit_identity(capfd):
     assert n >= 16384 and S2.nnz >= 12 * n  # gate precondition
     A = CSR(n, n, S2.indptr.astype(np.int64), S2.indices.astype(np.int32),
             S2.data)
+    # symm_detect=0: this test exercises the GENERAL dual-thread kernel; the
+    # symmetric operator would otherwise auto-dispatch to LDL^T (serial)
     opts = Options(verbose=0, tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3,
-                   kappa=5, kappa_d=5)
+                   kappa=5, kappa_d=5, symm_detect=0)
 
     env = dict(os.environ)
     try:
