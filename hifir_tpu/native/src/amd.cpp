@@ -59,7 +59,7 @@ struct AmdGraph {
 
 }  // namespace
 
-HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
+HT_API int ht_amd_vv(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
   if (n == 0) return 0;
   AmdGraph g(n);
 
@@ -351,6 +351,410 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
   if (k != n) {
     // leftovers (isolated nodes not picked up) — should not happen, but be
     // safe: append any uneliminated nodes
+    std::vector<char> seen(n, 0);
+    for (i64 i = 0; i < k; ++i) seen[perm[i]] = 1;
+    for (i64 i = 0; i < n; ++i)
+      if (!seen[i]) perm[k++] = i;
+  }
+  return k == n ? 0 : 1;
+}
+
+// ---------------------------------------------------------------------------
+// Flat-arena AMD: the SAME algorithm and tie rules as ht_amd_vv above
+// (bit-identical output, asserted by tests/test_pre.py), with the
+// vector-of-vectors quotient graph replaced by one i32 arena holding each
+// node's [E-sublist | A-sublist] segment (elements reuse their segment for
+// the member list).  The vv version allocates 3n separate heap vectors —
+// ~1.2 s of the 1M-row robust factorize was AMD, dominated by allocator
+// and pointer-chasing costs; the published amd_2 (TOMS-837, reference
+// pre/amd.hpp) uses the same single-workspace layout for the same reason.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FlatArena {
+  std::vector<i32> iw;
+  std::vector<i64> pe;    // segment start (node or element member list)
+  std::vector<i32> elen;  // variable: #E entries (E sublist first)
+  std::vector<i32> alen;  // variable: #A entries; element: #members
+  std::vector<i32> cap;   // segment capacity
+  i64 tail = 0;
+  std::vector<char> *dead = nullptr;     // live-segment test for GC
+  std::vector<char> *is_elem = nullptr;
+
+  // ensure `need` free slots at the arena tail, compacting live segments
+  // first when growing would overshoot; returns base offset of the block
+  i64 alloc(i64 need, i64 n) {
+    if (tail + need > (i64)iw.size()) {
+      // garbage-collect: keep live variable segments (elen+alen) and live
+      // element member lists (alen), ordered by current offset
+      std::vector<std::pair<i64, i32>> segs;
+      segs.reserve(n);
+      for (i64 v = 0; v < n; ++v) {
+        const bool el = (*is_elem)[v];
+        const i32 live_len = el ? ((*dead)[v] ? 0 : alen[v])
+                                : ((*dead)[v] ? 0 : elen[v] + alen[v]);
+        if (live_len > 0)
+          segs.emplace_back(pe[v], (i32)v);
+        else
+          cap[v] = 0;  // stale pe after compaction: force re-alloc on reuse
+      }
+      std::sort(segs.begin(), segs.end());
+      i64 w = 0;
+      for (auto &s : segs) {
+        const i32 v = s.second;
+        const i32 live_len =
+            (*is_elem)[v] ? alen[v] : elen[v] + alen[v];
+        std::memmove(iw.data() + w, iw.data() + pe[v],
+                     live_len * sizeof(i32));
+        pe[v] = w;
+        cap[v] = live_len;
+        w += live_len;
+      }
+      tail = w;
+      if (tail + need > (i64)iw.size())
+        iw.resize(std::max<i64>(tail + need + 1024,
+                                (i64)(iw.size() * 3 / 2)));
+    }
+    const i64 base = tail;
+    tail += need;
+    return base;
+  }
+};
+
+}  // namespace
+
+HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
+  if (n == 0) return 0;
+
+  FlatArena ar;
+  std::vector<i32> nv(n, 1);
+  std::vector<char> is_elem(n, 0), dead(n, 0);
+  std::vector<i64> deg(n, 0);
+  std::vector<i32> head(n + 1, -1), nxt(n, -1), prv(n, -1);
+  std::vector<i64> in_deg(n, -1);
+  std::vector<i32> sv_head(n), sv_next(n, -1), sv_tail(n);
+  ar.pe.assign(n, 0);
+  ar.elen.assign(n, 0);
+  ar.alen.assign(n, 0);
+  ar.cap.assign(n, 0);
+  ar.dead = &dead;
+  ar.is_elem = &is_elem;
+
+  const i64 nnz = indptr[n];
+  ar.iw.resize(nnz + 2 * n + 1024);
+  {
+    i64 w = 0;
+    for (i64 i = 0; i < n; ++i) {
+      sv_head[i] = (i32)i;
+      sv_tail[i] = (i32)i;
+      ar.pe[i] = w;
+      i32 cnt = 0;
+      for (i64 k = indptr[i]; k < indptr[i + 1]; ++k)
+        if (indices[k] != i) ar.iw[w + cnt++] = indices[k];
+      ar.alen[i] = cnt;
+      ar.cap[i] = cnt + 1;  // one spare slot for the first element append
+      w += cnt + 1;
+      deg[i] = cnt;
+    }
+    ar.tail = w;
+  }
+
+  auto bucket_insert = [&](i32 i) {
+    i64 d = std::min<i64>(deg[i], n);
+    nxt[i] = head[d];
+    prv[i] = -1;
+    if (head[d] >= 0) prv[head[d]] = i;
+    head[d] = i;
+    in_deg[i] = d;
+  };
+  auto bucket_remove = [&](i32 i) {
+    if (in_deg[i] < 0) return;
+    if (prv[i] >= 0) nxt[prv[i]] = nxt[i];
+    else head[in_deg[i]] = nxt[i];
+    if (nxt[i] >= 0) prv[nxt[i]] = prv[i];
+    in_deg[i] = -1;
+  };
+
+  if (std::getenv("HT_AMD_TIE") && std::getenv("HT_AMD_TIE")[0] == '1')
+    for (i64 i = 0; i < n; ++i) bucket_insert((i32)i);
+  else
+    for (i64 i = n - 1; i >= 0; --i) bucket_insert((i32)i);
+
+  std::vector<i64> elem_w(n, 0);
+  std::vector<i64> w_(n, -1);
+  std::vector<i64> mark(n, -1);
+  std::vector<i32> Lp;
+  std::vector<i32> scanned_elems;
+  std::vector<i64> stamp_hash(n, -1);
+  std::vector<i32> hash_bucket_head(n, -1), hash_next(n, -1);
+  i64 stamp = 0;
+
+  std::vector<i32> elim_order;
+  elim_order.reserve(n);
+  std::vector<i32> parent(n, -1);
+  std::vector<i64> fsize(n, 0);
+  std::vector<i32> eb, ab;  // per-update pruned-sublist scratch
+  i64 n_live = n;
+  i64 live_weight = n;
+  i64 mindeg = 0;
+
+  while (n_live > 0) {
+    while (mindeg <= n && head[mindeg] < 0) ++mindeg;
+    if (mindeg > n) break;
+    i32 p = head[mindeg];
+    bucket_remove(p);
+    const i64 nvp0 = nv[p];
+
+    // --- form element p: Lp = (A_p U U_{e in E_p} L_e) \ dead \ {p} -------
+    ++stamp;
+    Lp.clear();
+    mark[p] = stamp;
+    {
+      const i64 base = ar.pe[p];
+      const i32 el = ar.elen[p], al = ar.alen[p];
+      for (i32 k = el; k < el + al; ++k) {
+        const i32 v = ar.iw[base + k];
+        if (dead[v] || is_elem[v] || nv[v] == 0) continue;
+        if (mark[v] != stamp) {
+          mark[v] = stamp;
+          Lp.push_back(v);
+        }
+      }
+      for (i32 k = 0; k < el; ++k) {
+        const i32 e = ar.iw[base + k];
+        if (!is_elem[e] || dead[e]) continue;
+        const i64 eb2 = ar.pe[e];
+        const i32 ml = ar.alen[e];
+        for (i32 kk = 0; kk < ml; ++kk) {
+          const i32 v = ar.iw[eb2 + kk];
+          if (dead[v] || nv[v] == 0 || v == p) continue;
+          if (mark[v] != stamp) {
+            mark[v] = stamp;
+            Lp.push_back(v);
+          }
+        }
+        dead[e] = 1;  // absorb e into p
+        parent[e] = p;
+        ar.alen[e] = 0;
+      }
+    }
+    is_elem[p] = 1;
+    {
+      i64 tw = 0;
+      for (i32 v : Lp) tw += nv[v];
+      elem_w[p] = tw;
+    }
+    // store p's member list (reuse p's segment when it fits)
+    {
+      const i64 need = (i64)Lp.size();
+      ar.elen[p] = 0;
+      ar.alen[p] = 0;  // frees p's old segment for GC purposes
+      if (need <= ar.cap[p]) {
+        std::memcpy(ar.iw.data() + ar.pe[p], Lp.data(),
+                    need * sizeof(i32));
+      } else {
+        const i64 base = ar.alloc(need, n);
+        std::memcpy(ar.iw.data() + base, Lp.data(), need * sizeof(i32));
+        ar.pe[p] = base;
+        ar.cap[p] = (i32)need;
+      }
+      ar.alen[p] = (i32)need;
+    }
+    elim_order.push_back(p);
+    n_live -= 1;
+    live_weight -= nvp0;
+
+    const i64 lp_weight = elem_w[p];
+    fsize[p] = nvp0 + lp_weight;
+
+    // --- |L_e \ Lp| via the w trick ---------------------------------------
+    scanned_elems.clear();
+    for (i32 v : Lp) {
+      const i64 base = ar.pe[v];
+      const i32 el = ar.elen[v];
+      for (i32 k = 0; k < el; ++k) {
+        const i32 e = ar.iw[base + k];
+        if (!is_elem[e] || dead[e]) continue;
+        if (mark[e] != stamp) {
+          w_[e] = elem_w[e];
+          mark[e] = stamp;
+          scanned_elems.push_back(e);
+        }
+        w_[e] -= nv[v];
+      }
+    }
+    for (i32 e : scanned_elems)
+      if (w_[e] == 0) {
+        dead[e] = 1;
+        parent[e] = p;
+        ar.alen[e] = 0;
+      }
+
+    // --- update each i in Lp ----------------------------------------------
+    for (i32 i : Lp) {
+      const i64 base = ar.pe[i];
+      const i32 el = ar.elen[i], al = ar.alen[i];
+      // prune A_i (stable), accumulating surviving weight
+      ab.clear();
+      i64 ai_weight = 0;
+      for (i32 k = el; k < el + al; ++k) {
+        const i32 u = ar.iw[base + k];
+        if (dead[u] || is_elem[u] || nv[u] == 0) continue;
+        if (mark[u] == stamp && u != i) continue;  // u in Lp
+        if (u == i) continue;
+        ab.push_back(u);
+        ai_weight += nv[u];
+      }
+      // prune E_i (stable), accumulating sum |L_e \ Lp|; append p
+      eb.clear();
+      i64 esum = 0;
+      for (i32 k = 0; k < el; ++k) {
+        const i32 e = ar.iw[base + k];
+        if (!is_elem[e] || dead[e]) continue;
+        eb.push_back(e);
+        esum += mark[e] == stamp ? w_[e] : elem_w[e];
+      }
+      eb.push_back(p);
+      const i64 need = (i64)eb.size() + (i64)ab.size();
+      i64 dst = base;
+      if (need > ar.cap[i]) {
+        ar.elen[i] = 0;
+        ar.alen[i] = 0;  // old segment logically free
+        dst = ar.alloc(need + 2, n);
+        ar.pe[i] = dst;
+        ar.cap[i] = (i32)(need + 2);
+      }
+      std::memcpy(ar.iw.data() + dst, eb.data(), eb.size() * sizeof(i32));
+      std::memcpy(ar.iw.data() + dst + eb.size(), ab.data(),
+                  ab.size() * sizeof(i32));
+      ar.elen[i] = (i32)eb.size();
+      ar.alen[i] = (i32)ab.size();
+
+      i64 d = std::min(deg[i], ai_weight + esum);
+      if (d < 0) d = 0;
+      bucket_remove(i);
+      deg[i] = d;
+    }
+
+    // --- mass elimination + supervariable detection -----------------------
+    ++stamp;
+    for (i32 i : Lp) {
+      if (dead[i]) continue;
+      const i64 base = ar.pe[i];
+      const i32 el = ar.elen[i], al = ar.alen[i];
+      if (al == 0 && el == 1 && ar.iw[base] == p) {
+        dead[i] = 1;
+        nv[p] += nv[i];
+        live_weight -= nv[i];
+        elem_w[p] -= nv[i];
+        nv[i] = 0;
+        n_live -= 1;
+        sv_next[sv_tail[p]] = sv_head[i];
+        sv_tail[p] = sv_tail[i];
+        continue;
+      }
+      i64 h = 0;
+      for (i32 k = 0; k < el + al; ++k) h += ar.iw[base + k];
+      h = ((h % n) + n) % n;
+      if (stamp_hash[h] != stamp) {
+        stamp_hash[h] = stamp;
+        hash_bucket_head[h] = i;
+        hash_next[i] = -1;
+      } else {
+        hash_next[i] = hash_bucket_head[h];
+        hash_bucket_head[h] = i;
+      }
+    }
+    {
+      // compare within hash buckets (exact set equality, sorted copies)
+      std::vector<i32> sa, sb, ea2, eb2;
+      for (i32 i : Lp) {
+        if (dead[i]) continue;
+        for (i32 jv = hash_next[i]; jv >= 0; jv = hash_next[jv]) {
+          if (dead[jv]) continue;
+          if (ar.alen[i] != ar.alen[jv] || ar.elen[i] != ar.elen[jv])
+            continue;
+          const i64 bi = ar.pe[i], bj = ar.pe[jv];
+          const i32 eli = ar.elen[i], ali = ar.alen[i];
+          sa.assign(ar.iw.begin() + bi + eli, ar.iw.begin() + bi + eli + ali);
+          sb.assign(ar.iw.begin() + bj + eli, ar.iw.begin() + bj + eli + ali);
+          std::sort(sa.begin(), sa.end());
+          std::sort(sb.begin(), sb.end());
+          if (sa != sb) continue;
+          ea2.assign(ar.iw.begin() + bi, ar.iw.begin() + bi + eli);
+          eb2.assign(ar.iw.begin() + bj, ar.iw.begin() + bj + eli);
+          std::sort(ea2.begin(), ea2.end());
+          std::sort(eb2.begin(), eb2.end());
+          if (ea2 != eb2) continue;
+          bucket_remove(jv);
+          dead[jv] = 1;
+          nv[i] += nv[jv];
+          nv[jv] = 0;
+          n_live -= 1;
+          sv_next[sv_tail[i]] = sv_head[jv];
+          sv_tail[i] = sv_tail[jv];
+          ar.elen[jv] = 0;
+          ar.alen[jv] = 0;
+        }
+      }
+    }
+    // reinsert survivors (same default/env tie rules as ht_amd_vv)
+    i64 new_min = n;
+    static const bool rev2 = !(std::getenv("HT_AMD_TIE2") &&
+                               std::getenv("HT_AMD_TIE2")[0] == '0');
+    const i64 lpw_final = elem_w[p];
+    for (i64 k2 = 0; k2 < (i64)Lp.size(); ++k2) {
+      const i32 i = rev2 ? Lp[Lp.size() - 1 - k2] : Lp[k2];
+      if (dead[i] || nv[i] == 0) continue;
+      i64 d = std::min(deg[i] + lpw_final - nv[i], live_weight - nv[i]);
+      if (d < 0) d = 0;
+      deg[i] = d;
+      bucket_insert(i);
+      new_min = std::min(new_min, in_deg[i]);
+    }
+    mindeg = std::min(mindeg, new_min);
+  }
+
+  // --- postorder (identical to ht_amd_vv) ---------------------------------
+  std::vector<i32> final_order;
+  final_order.reserve(elim_order.size());
+  if (std::getenv("HT_AMD_NOPOST")) {
+    final_order = elim_order;
+  } else {
+    std::vector<std::vector<i32>> child(n);
+    for (i32 e : elim_order)
+      if (parent[e] >= 0) child[parent[e]].push_back(e);
+    for (i32 e : elim_order) {
+      auto &c = child[e];
+      if (c.size() > 1) {
+        i64 mx = 0;
+        for (i64 t = 1; t < (i64)c.size(); ++t)
+          if (fsize[c[t]] > fsize[c[mx]]) mx = t;
+        std::swap(c[mx], c.back());
+      }
+    }
+    std::vector<std::pair<i32, i64>> stk;
+    for (i32 r : elim_order) {
+      if (parent[r] >= 0) continue;
+      stk.emplace_back(r, 0);
+      while (!stk.empty()) {
+        auto &[node, ci] = stk.back();
+        if (ci < (i64)child[node].size()) {
+          i32 nxt_child = child[node][ci];
+          ++ci;
+          stk.emplace_back(nxt_child, 0);
+        } else {
+          final_order.push_back(node);
+          stk.pop_back();
+        }
+      }
+    }
+  }
+  i64 k = 0;
+  for (i32 rep : final_order)
+    for (i32 v = sv_head[rep]; v >= 0; v = sv_next[v]) perm[k++] = v;
+  if (k != n) {
     std::vector<char> seen(n, 0);
     for (i64 i = 0; i < k; ++i) seen[perm[i]] = 1;
     for (i64 i = 0; i < n; ++i)

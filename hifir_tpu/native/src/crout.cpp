@@ -910,33 +910,58 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
     if (sym) {
       // mirror the strict-lower entries: full row i = [lower (c <= i),
       // sorted] ++ [mirrored (c > i) in ascending c] — concatenation stays
-      // sorted and the values are bit-copied, so S is bit-symmetric
+      // sorted and the values are bit-copied, so S is bit-symmetric.
+      // Parallelized by DESTINATION row range: each thread reads the whole
+      // strict-lower triangle but counts/writes only rows in its range, so
+      // the ascending-source order per destination row is preserved.
       const std::vector<i64> &Lo = ws.SloP;
       const std::vector<i32> &LoI = ws.SloI;
       const std::vector<VT> &LoV = ws.SloV;
       res->Sp.assign(nm + 1, 0);
-      for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] = Lo[i + 1] - Lo[i];
-      // every strict-lower entry (i, c), c < i, mirrors into row c
-      for (i64 i = 0; i < nm; ++i)
-        for (i64 k = Lo[i]; k < Lo[i + 1]; ++k)
-          if (LoI[k] != (i32)i) ++res->Sp[LoI[k] + 1];
-      for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] += res->Sp[i];
-      res->Si.resize(res->Sp[nm]);
-      res->Sv.resize(res->Sp[nm]);
-      std::vector<i64> nx(res->Sp.begin(), res->Sp.end() - 1);
-      for (i64 i = 0; i < nm; ++i)
-        for (i64 k = Lo[i]; k < Lo[i + 1]; ++k) {
-          res->Si[nx[i]] = LoI[k];
-          res->Sv[nx[i]++] = LoV[k];
+      const int mt = nm >= 4096 ? 2 : 1;
+#pragma omp parallel num_threads(mt) if (mt > 1)
+      {
+        const int tid2 = mt > 1 ? omp_get_thread_num() : 0;
+        const int team2 = mt > 1 ? omp_get_num_threads() : 1;
+        for (int chunk = tid2; chunk < mt; chunk += team2) {
+          const i64 lo = (i64)chunk * nm / mt, hi = (i64)(chunk + 1) * nm / mt;
+          for (i64 i = lo; i < hi; ++i) res->Sp[i + 1] = Lo[i + 1] - Lo[i];
+          for (i64 i = 0; i < nm; ++i)
+            for (i64 k = Lo[i]; k < Lo[i + 1]; ++k) {
+              const i32 c = LoI[k];
+              if (c != (i32)i && c >= lo && c < hi) ++res->Sp[c + 1];
+            }
         }
-      for (i64 i = 0; i < nm; ++i)
-        for (i64 k = Lo[i]; k < Lo[i + 1]; ++k) {
-          const i32 c = LoI[k];
-          if (c != (i32)i) {
-            res->Si[nx[c]] = (i32)i;
-            res->Sv[nx[c]++] = LoV[k];
+#pragma omp barrier
+#pragma omp single
+        {
+          for (i64 i = 0; i < nm; ++i) res->Sp[i + 1] += res->Sp[i];
+          res->Si.resize(res->Sp[nm]);
+          res->Sv.resize(res->Sp[nm]);
+        }  // implicit barrier
+        for (int chunk = tid2; chunk < mt; chunk += team2) {
+          const i64 lo = (i64)chunk * nm / mt, hi = (i64)(chunk + 1) * nm / mt;
+          for (i64 i = lo; i < hi; ++i) {
+            i64 w2 = res->Sp[i];
+            for (i64 k = Lo[i]; k < Lo[i + 1]; ++k) {
+              res->Si[w2] = LoI[k];
+              res->Sv[w2++] = LoV[k];
+            }
           }
+          // append mirrored entries after each destination row's lower part
+          std::vector<i64> nx(hi - lo);
+          for (i64 c = lo; c < hi; ++c)
+            nx[c - lo] = res->Sp[c] + (Lo[c + 1] - Lo[c]);
+          for (i64 i = 0; i < nm; ++i)
+            for (i64 k = Lo[i]; k < Lo[i + 1]; ++k) {
+              const i32 c = LoI[k];
+              if (c != (i32)i && c >= lo && c < hi) {
+                res->Si[nx[c - lo]] = (i32)i;
+                res->Sv[nx[c - lo]++] = LoV[k];
+              }
+            }
         }
+      }
     }
     mark("Schur");
   } else {

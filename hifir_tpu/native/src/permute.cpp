@@ -12,18 +12,22 @@ template <class VT>
 void permute_scale_t(i64 n, const i64 *Ap, const i32 *Ai, const VT *Av,
                      const double *s, const double *t, const i64 *p,
                      const i64 *q_inv, i64 *Bp, i32 *Bi, VT *Bv) {
+  // row offsets first (prefix sum of permuted row lengths), then a
+  // parallel fill over disjoint output ranges — bit-identical to the
+  // serial pass (per-entry arithmetic and order unchanged)
   Bp[0] = 0;
-  i64 w = 0;
+  for (i64 i = 0; i < n; ++i) Bp[i + 1] = Bp[i] + (Ap[p[i] + 1] - Ap[p[i]]);
+#pragma omp parallel for schedule(static) if (Bp[n] > 1 << 21)
   for (i64 i = 0; i < n; ++i) {
     const i64 r = p[i];
     const double sr = s[r];
+    i64 w = Bp[i];
     for (i64 k = Ap[r]; k < Ap[r + 1]; ++k, ++w) {
       Bi[w] = (i32)q_inv[Ai[k]];
       // scale in f64, store in working precision (the s/t scalings from
       // preprocessing are always f64)
       Bv[w] = (VT)(sr * (double)Av[k] * t[Ai[k]]);
     }
-    Bp[i + 1] = w;
   }
 }
 }  // namespace
