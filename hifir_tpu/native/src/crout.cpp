@@ -2328,3 +2328,62 @@ HT_API void ht_res_kmm(void *h, double *out) {
 HT_API void ht_res_free(void *h) {
   res_dispatch(h, [](auto *r) { delete r; });
 }
+
+// ---- per-matrix take-out holders --------------------------------------
+//
+// The zero-copy export used to keep ONE handle alive for all five exported
+// matrices, so a preconditioner level retained its (consumed) Schur
+// complement for its whole lifetime — ~0.5 GB of dead arrays on a 1M-row
+// robust factorize, feeding the allocator-churn cost of every later level.
+// ht_res_take_mat moves one matrix's vectors into a standalone holder whose
+// lifetime is that matrix's numpy views alone; S is then freed as soon as
+// the next level has consumed it.
+namespace {
+template <class VT>
+struct MatHolder {
+  int dtype = DtypeCode<VT>::value;
+  std::vector<i64> p;
+  std::vector<i32> i;
+  std::vector<VT> v;
+};
+template <class F>
+auto mat_dispatch(void *h, F f) {
+  switch (*(int *)h) {
+    case 1: return f((MatHolder<std::complex<double>> *)h);
+    case 2: return f((MatHolder<float> *)h);
+    case 3: return f((MatHolder<std::complex<float>> *)h);
+    default: return f((MatHolder<double> *)h);
+  }
+}
+}  // namespace
+
+HT_API void *ht_res_take_mat(void *h, int what) {
+  return res_dispatch(h, [what](auto *r) -> void * {
+    using VT = typename std::remove_reference<decltype(r->Lv)>::type
+        ::value_type;
+    auto *mh = new MatHolder<VT>();
+    if (what == 0) { mh->p = std::move(r->Lp); mh->i = std::move(r->Li);
+                     mh->v = std::move(r->Lv); }
+    else if (what == 1) { mh->p = std::move(r->Up); mh->i = std::move(r->Ui);
+                          mh->v = std::move(r->Uv); }
+    else if (what == 2) { mh->p = std::move(r->Sp); mh->i = std::move(r->Si);
+                          mh->v = std::move(r->Sv); }
+    else if (what == 3) { mh->p = std::move(r->Ep); mh->i = std::move(r->Ei);
+                          mh->v = std::move(r->Ev); }
+    else { mh->p = std::move(r->Fp); mh->i = std::move(r->Fi);
+           mh->v = std::move(r->Fv); }
+    return (void *)mh;
+  });
+}
+
+HT_API void ht_mat_ptrs(void *h, void **pp, void **pi, void **pv) {
+  mat_dispatch(h, [&](auto *mh) {
+    *pp = (void *)mh->p.data();
+    *pi = (void *)mh->i.data();
+    *pv = (void *)mh->v.data();
+  });
+}
+
+HT_API void ht_mat_free(void *h) {
+  mat_dispatch(h, [](auto *mh) { delete mh; });
+}
