@@ -13,7 +13,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 from hifir_tpu.api import HIF
-from hifir_tpu.models.problems import poisson2d
+from hifir_tpu.models.problems import convdiff2d, poisson2d
 from hifir_tpu.options import Options
 
 
@@ -21,7 +21,9 @@ def main() -> None:
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     dtype = sys.argv[3] if len(sys.argv) > 3 else "float64"
-    A = poisson2d(nx)
+    A = convdiff2d(nx) if dtype.startswith("c") else poisson2d(nx)
+    if dtype.startswith("c"):
+        dtype = "float64"
     opts = Options()  # robust defaults
     if dtype != "float64":
         opts.dtype = dtype

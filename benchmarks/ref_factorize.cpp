@@ -20,6 +20,9 @@ using crs_t  = prec_t::crs_type;
 int main(int argc, char **argv) {
   const int nx   = argc > 1 ? std::atoi(argv[1]) : 1024;
   const int reps = argc > 2 ? std::atoi(argv[2]) : 1;
+  // argv[3] = "convdiff" selects the nonsymmetric upwind stencil
+  // (hifir_tpu/models/problems.py:convdiff2d, wind (10, 20))
+  const bool convdiff = argc > 3 && argv[3][0] == 'c';
   const long n   = (long)nx * nx;
 
   std::vector<long>   indptr(n + 1);  // reference IndPtrType defaults to long
@@ -28,13 +31,19 @@ int main(int argc, char **argv) {
   indices.reserve(5 * n);
   vals.reserve(5 * n);
   indptr[0] = 0;
+  const double h = 1.0 / (nx + 1), bx = 10.0, by = 20.0;
+  const double diag  = convdiff ? 4.0 + h * (bx + by) : 4.0;
+  const double west  = convdiff ? -(1.0 + h * bx) : -1.0;
+  const double east  = -1.0;
+  const double south = convdiff ? -(1.0 + h * by) : -1.0;
+  const double north = -1.0;
   for (long i = 0; i < n; ++i) {
     const long x = i % nx, y = i / nx;
-    if (y > 0) { indices.push_back((int)(i - nx)); vals.push_back(-1.0); }
-    if (x > 0) { indices.push_back((int)(i - 1));  vals.push_back(-1.0); }
-    indices.push_back((int)i); vals.push_back(4.0);
-    if (x < nx - 1) { indices.push_back((int)(i + 1));  vals.push_back(-1.0); }
-    if (y < nx - 1) { indices.push_back((int)(i + nx)); vals.push_back(-1.0); }
+    if (y > 0) { indices.push_back((int)(i - nx)); vals.push_back(south); }
+    if (x > 0) { indices.push_back((int)(i - 1));  vals.push_back(west); }
+    indices.push_back((int)i); vals.push_back(diag);
+    if (x < nx - 1) { indices.push_back((int)(i + 1));  vals.push_back(east); }
+    if (y < nx - 1) { indices.push_back((int)(i + nx)); vals.push_back(north); }
     indptr[i + 1] = (long)indices.size();
   }
   crs_t A((hif::CRS<double, int>::size_type)n,

@@ -1565,7 +1565,17 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           const i32 c = Uids[k];
           if (k + HT_PF < end) __builtin_prefetch(&wu[Uids[k + HT_PF]], 1, 1);
           if (prof2) ++n_ut_vis;
-          const i32 tg = wu[c].tag;
+          const TP tp = wu[c];  // one 8-byte load covers tag AND pos
+          const i32 tg = tp.tag;
+          // hottest case first: already a candidate this step.  tg == stp
+          // implies c was seeded/inserted this step, so c != idk is
+          // guaranteed (idk is never seeded and its tag can only be a
+          // stale older stamp or TOMB) — no wu store, no idk check.
+          if (tg == stp) {
+            utv[tp.pos] -= ld * Uvals[k];
+            ++k;
+            continue;
+          }
           if (tg == TOMB) {  // consumed: swap out of the live region
             if (prof2) ++n_swap;
             --end;
@@ -1573,19 +1583,12 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             std::swap(Uvals[k], Uvals[end]);
             continue;
           }
-          if (c != idk) {
-            // branchless new-vs-seen: unconditional append-slot store +
-            // position select (identical fp results: the two select arms
-            // are exactly the branchy assignments)
-            const bool isnew = tg != stp;
-            const i32 pos = isnew ? (i32)nu : wu[c].pos;
-            ut_ids[nu] = c;
+          if (c != idk) {  // new candidate
             wu[c].tag = stp;
-            wu[c].pos = pos;
-            nu += isnew;
-            const VT contrib = ld * Uvals[k];
-            const VT vold = utv[pos];
-            utv[pos] = isnew ? -contrib : vold - contrib;
+            wu[c].pos = (i32)nu;
+            ut_ids[nu] = c;
+            utv[nu] = -ld * Uvals[k];
+            ++nu;
           }
           ++k;
         }
@@ -1636,7 +1639,13 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           const i32 r = Lids[k];
           if (k + HT_PF < end) __builtin_prefetch(&wl[Lids[k + HT_PF]], 1, 1);
           if (prof2) ++n_l_vis;
-          const i32 tg = wl[r].tag;
+          const TP tp = wl[r];  // one 8-byte load covers tag AND pos
+          const i32 tg = tp.tag;
+          if (tg == stp) {  // seen this step (see the ut-scan note)
+            lv[tp.pos] -= du * Lvals[k];
+            ++k;
+            continue;
+          }
           if (tg == TOMB) {
             --end;
             std::swap(Lids[k], Lids[end]);
@@ -1644,15 +1653,11 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             continue;
           }
           if (r != idk) {
-            const bool isnew = tg != stp;
-            const i32 pos = isnew ? (i32)nl : wl[r].pos;
-            l_ids[nl] = r;
             wl[r].tag = stp;
-            wl[r].pos = pos;
-            nl += isnew;
-            const VT contrib = du * Lvals[k];
-            const VT vold = lv[pos];
-            lv[pos] = isnew ? -contrib : vold - contrib;
+            wl[r].pos = (i32)nl;
+            l_ids[nl] = r;
+            lv[nl] = -du * Lvals[k];
+            ++nl;
           }
           ++k;
         }
