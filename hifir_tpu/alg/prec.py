@@ -235,8 +235,8 @@ class DevicePrec:
 
     # -- construction -------------------------------------------------------
     @classmethod
-    def from_host(cls, precs, dtype=None, chunk: int = 256,
-                  tail_on_device: bool = False) -> "DevicePrec":
+    def from_host(cls, precs, dtype=None, chunk="auto",
+                  tail_on_device: bool = False, k_cap="auto") -> "DevicePrec":
         """``tail_on_device`` refactorizes the dense tail with the jitted
         device QRCP (small_scale/qrcp_device.py) instead of reusing the host
         LAPACK factors — the fully LAPACK-free mode.
@@ -256,9 +256,9 @@ class DevicePrec:
                 t=jnp.asarray(prec.t, dtype=dtype),
                 d=jnp.asarray(prec.d, dtype=dtype),
                 L=build_trsv_schedule(prec.L_B, lower=True, chunk=chunk,
-                                      dtype=dtype, k_cap="auto"),
+                                      dtype=dtype, k_cap=k_cap),
                 U=build_trsv_schedule(prec.U_B, lower=False, chunk=chunk,
-                                      dtype=dtype, k_cap="auto"),
+                                      dtype=dtype, k_cap=k_cap),
                 E=sliced_ell_from_csr(prec.E, dtype=dtype),
                 F=sliced_ell_from_csr(prec.F, dtype=dtype),
                 m=m, n=n))
@@ -302,7 +302,7 @@ class DevicePrec:
         obj._solve_tran_jit = jax.jit(_solve_tran_pure)
         return obj
 
-    def pack_transpose(self, host_precs, dtype=None, chunk: int = 256) -> None:
+    def pack_transpose(self, host_precs, dtype=None, chunk="auto") -> None:
         """Build transpose operands (U^H/L^H schedules, E^H/F^H ELL);
         ``dtype=None`` preserves the host precision (incl. complex)."""
         tops = []
@@ -343,7 +343,7 @@ class DevicePrec:
             for hp in host_precs]
         self._prod_jit = jax.jit(prec_prod_device)
 
-    def pack_prod_tran(self, host_precs, dtype=None, chunk: int = 256) -> None:
+    def pack_prod_tran(self, host_precs, dtype=None, chunk="auto") -> None:
         """Build adjoint-product operands (L_B^H / U_B^H as ELL); requires
         (and builds, if absent) the transpose pack for E^H/F^H and the
         conjugate-transposed LDU schedules."""
