@@ -13,6 +13,9 @@
 
 #include "common.hpp"
 
+#include <chrono>
+#include <cstdio>
+
 namespace {
 
 struct AmdGraph {
@@ -426,6 +429,16 @@ struct FlatArena {
 
 HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
   if (n == 0) return 0;
+  const bool prof = std::getenv("HT_PROFILE") != nullptr;
+  auto tprev = std::chrono::steady_clock::now();
+  auto phase_mark = [&](const char *what) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[ht_amd] %s=%.0fms\n", what,
+                 std::chrono::duration<double, std::milli>(now - tprev)
+                     .count());
+    tprev = now;
+  };
 
   FlatArena ar;
   std::vector<i32> nv(n, 1);
@@ -480,6 +493,7 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
     for (i64 i = 0; i < n; ++i) bucket_insert((i32)i);
   else
     for (i64 i = n - 1; i >= 0; --i) bucket_insert((i32)i);
+  phase_mark("build");
 
   std::vector<i64> elem_w(n, 0);
   std::vector<i64> w_(n, -1);
@@ -667,26 +681,30 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
       }
     }
     {
-      // compare within hash buckets (exact set equality, sorted copies)
-      std::vector<i32> sa, sb, ea2, eb2;
+      // compare within hash buckets: exact set equality via stamp marking
+      // (amd_2 compares by scan too, TOMS-837).  A lists hold variables and
+      // E lists hold elements — disjoint id roles — and neither contains
+      // duplicates, so marking i's entries once and checking jv's entries
+      // all marked (with equal lengths) is exact set equality.  Identical
+      // merge decisions to the sorted-copy comparison, no sorts, no allocs.
       for (i32 i : Lp) {
         if (dead[i]) continue;
+        bool marked_i = false;
         for (i32 jv = hash_next[i]; jv >= 0; jv = hash_next[jv]) {
           if (dead[jv]) continue;
           if (ar.alen[i] != ar.alen[jv] || ar.elen[i] != ar.elen[jv])
             continue;
           const i64 bi = ar.pe[i], bj = ar.pe[jv];
           const i32 eli = ar.elen[i], ali = ar.alen[i];
-          sa.assign(ar.iw.begin() + bi + eli, ar.iw.begin() + bi + eli + ali);
-          sb.assign(ar.iw.begin() + bj + eli, ar.iw.begin() + bj + eli + ali);
-          std::sort(sa.begin(), sa.end());
-          std::sort(sb.begin(), sb.end());
-          if (sa != sb) continue;
-          ea2.assign(ar.iw.begin() + bi, ar.iw.begin() + bi + eli);
-          eb2.assign(ar.iw.begin() + bj, ar.iw.begin() + bj + eli);
-          std::sort(ea2.begin(), ea2.end());
-          std::sort(eb2.begin(), eb2.end());
-          if (ea2 != eb2) continue;
+          if (!marked_i) {
+            ++stamp;
+            for (i32 k3 = 0; k3 < eli + ali; ++k3) mark[ar.iw[bi + k3]] = stamp;
+            marked_i = true;
+          }
+          bool same = true;
+          for (i32 k3 = 0; k3 < eli + ali; ++k3)
+            if (mark[ar.iw[bj + k3]] != stamp) { same = false; break; }
+          if (!same) continue;
           bucket_remove(jv);
           dead[jv] = 1;
           nv[i] += nv[jv];
@@ -716,22 +734,32 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
     mindeg = std::min(mindeg, new_min);
   }
 
+  phase_mark("mainloop");
   // --- postorder (identical to ht_amd_vv) ---------------------------------
   std::vector<i32> final_order;
   final_order.reserve(elim_order.size());
   if (std::getenv("HT_AMD_NOPOST")) {
     final_order = elim_order;
   } else {
-    std::vector<std::vector<i32>> child(n);
+    // flat child lists (counting layout; fill in elim order keeps the
+    // same child ordering as the old vector-of-vectors build)
+    std::vector<i64> cptr(n + 1, 0);
     for (i32 e : elim_order)
-      if (parent[e] >= 0) child[parent[e]].push_back(e);
+      if (parent[e] >= 0) ++cptr[parent[e] + 1];
+    for (i64 v = 0; v < n; ++v) cptr[v + 1] += cptr[v];
+    std::vector<i32> cbuf(elim_order.size());
+    {
+      std::vector<i64> nx2(cptr.begin(), cptr.end() - 1);
+      for (i32 e : elim_order)
+        if (parent[e] >= 0) cbuf[nx2[parent[e]]++] = e;
+    }
     for (i32 e : elim_order) {
-      auto &c = child[e];
-      if (c.size() > 1) {
-        i64 mx = 0;
-        for (i64 t = 1; t < (i64)c.size(); ++t)
-          if (fsize[c[t]] > fsize[c[mx]]) mx = t;
-        std::swap(c[mx], c.back());
+      const i64 a = cptr[e], b = cptr[e + 1];
+      if (b - a > 1) {
+        i64 mx = a;
+        for (i64 t = a + 1; t < b; ++t)
+          if (fsize[cbuf[t]] > fsize[cbuf[mx]]) mx = t;
+        std::swap(cbuf[mx], cbuf[b - 1]);
       }
     }
     std::vector<std::pair<i32, i64>> stk;
@@ -740,8 +768,8 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
       stk.emplace_back(r, 0);
       while (!stk.empty()) {
         auto &[node, ci] = stk.back();
-        if (ci < (i64)child[node].size()) {
-          i32 nxt_child = child[node][ci];
+        if (ci < cptr[node + 1] - cptr[node]) {
+          i32 nxt_child = cbuf[cptr[node] + ci];
           ++ci;
           stk.emplace_back(nxt_child, 0);
         } else {
@@ -751,6 +779,7 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
       }
     }
   }
+  phase_mark("postorder");
   i64 k = 0;
   for (i32 rep : final_order)
     for (i32 v = sv_head[rep]; v >= 0; v = sv_next[v]) perm[k++] = v;
@@ -760,5 +789,6 @@ HT_API int ht_amd(i64 n, const i64 *indptr, const i32 *indices, i64 *perm) {
     for (i64 i = 0; i < n; ++i)
       if (!seen[i]) perm[k++] = i;
   }
+  phase_mark("expand");
   return k == n ? 0 : 1;
 }
