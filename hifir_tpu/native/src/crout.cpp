@@ -97,10 +97,6 @@ struct Adj {
     pool.clear();
     pool.reserve(reserve_nnz);
   }
-  void release() {
-    head = std::vector<i32>();
-    pool = std::vector<Node>();
-  }
   inline void add(i64 id, i32 step, VT v) {
     pool.push_back(Node{head[id], step, v});
     head[id] = (i32)(pool.size() - 1);
@@ -148,7 +144,7 @@ struct CroutWS {
   // finalize scratch
   std::vector<i64> posR, posC;
   std::vector<i32> pcs, upos, lpos;
-  std::vector<i64> UFp, LEp, scr_ne, scr_nf;
+  std::vector<i64> UFp, LEp;
   std::vector<i32> UFi, LEi;
   std::vector<VT> UFv, LEv;
   std::vector<i64> SloP;  // lower-triangular Schur product (symmetric levels)

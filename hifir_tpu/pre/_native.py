@@ -168,21 +168,6 @@ def has_pivot_dtype(dtype) -> bool:
     return bool(getattr(lib, flag, False))
 
 
-class _ResultHandle:
-    """Keeps a native crout result alive while numpy views reference it."""
-
-    __slots__ = ("_lib", "_h")
-
-    def __init__(self, lib, h):
-        self._lib, self._h = lib, h
-
-    def __del__(self):  # pragma: no cover - interpreter shutdown ordering
-        try:
-            self._lib.ht_res_free(self._h)
-        except Exception:
-            pass
-
-
 class _MatHandle:
     """Keeps ONE exported matrix (moved out of a crout result via
     ht_res_take_mat) alive while its numpy views reference it."""
