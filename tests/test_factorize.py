@@ -572,3 +572,47 @@ def test_boosted_precision_host_ir():
     # robust to spectrum draws
     assert errs[True] < errs[False] * 1e-3, errs
     assert errs[True] < 1e-11, errs
+
+
+def test_symm_detect_dispatch():
+    """Auto-LDL^T dispatch (api.factorize + Options.symm_detect): an exactly
+    symmetric real input takes the mode-1 kernel by default; one asymmetric
+    entry, complex input, or symm_detect=0 must all keep the general path.
+    The dispatched factorization solves the complete (no-dropping) system
+    exactly like the general one."""
+    import scipy.sparse as sp
+
+    A = poisson2d(24)                       # exactly symmetric
+    b = np.arange(A.nrows, dtype=np.float64)
+
+    # detection on (default): LDL^T engaged -> U_B == L_B^T exactly
+    M1 = HIF().factorize(A, Options(verbose=0))
+    p1 = next(p for p in M1.precs if p.m)
+    LBT = p1.L_B.to_scipy().T.tocsr()
+    UB = p1.U_B.to_scipy().tocsr()
+    assert (LBT != UB).nnz == 0
+
+    # opt-out keeps the general path (independent sides; still solves)
+    M0 = HIF().factorize(A, Options(verbose=0, symm_detect=0))
+    np.testing.assert_allclose(M0.solve(b), M1.solve(b), rtol=1e-8,
+                               atol=1e-8 * np.abs(M1.solve(b)).max())
+
+    # one asymmetric entry disables detection: the general kernel runs and
+    # the (dropped) preconditioner still drives IR to convergence on the
+    # asymmetric system
+    S = A.to_scipy().tolil()
+    S[0, 1] = 3.14159           # S[1, 0] unchanged -> not symmetric
+    An = CSR.from_scipy(S.tocsr())
+    Mn = HIF().factorize(An, Options(verbose=0))
+    x, _, flag = Mn.hifir(An, b, 50, betas=(1e-12, 1e8))
+    assert flag == 0
+    assert (np.linalg.norm(b - An.matvec(x)) / np.linalg.norm(b)) <= 1e-10
+
+    # complex symmetric input keeps the general path (mode 1 is real-only)
+    Ac = CSR(A.nrows, A.ncols, A.indptr, A.indices,
+             A.data.astype(np.complex128))
+    Mc = HIF().factorize(Ac, Options(verbose=0))
+    bc = b.astype(np.complex128)
+    xc, _, flagc = Mc.hifir(Ac, bc, 50, betas=(1e-12, 1e8))
+    assert flagc == 0
+    assert np.linalg.norm(Ac.matvec(xc) - bc) / np.linalg.norm(bc) <= 1e-10
