@@ -135,10 +135,12 @@ class HIF:
         # declared-leading-block semantics instead.
         if (opts.symm_detect and not opts.is_symm and m0 == 0
                 and not opts.no_pre
-                and A.data.dtype == np.float64):
+                and A.data.dtype in (np.float64, np.float32)):
             from .pre import _native as _nat
 
-            vs = _nat.value_symm(A.nrows, A.indptr, A.indices, A.data)
+            vals64 = (A.data if A.data.dtype == np.float64
+                      else A.data.astype(np.float64))
+            vs = _nat.value_symm(A.nrows, A.indptr, A.indices, vals64)
             if vs is None:
                 AT = A.to_scipy()
                 vs = (AT != AT.T).nnz == 0
