@@ -1436,7 +1436,6 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   unsigned long long c_kappa = 0, c_ut = 0, c_l = 0, c_drop = 0, c_push = 0,
                      c_pushA = 0, c_scale = 0, t0 = 0, t1 = 0;
   (void)c_pushA;
-  (void)c_scale;
 #define HT_TIC2() if (prof2) t1 = __rdtsc()
 #define HT_TOC2(acc) if (prof2) acc += __rdtsc() - t1
 #define HT_TIC() if (prof2) t0 = __rdtsc()
@@ -1666,6 +1665,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     // All scalings are true divisions (not reciprocal multiplies): the
     // Python anchor divides, and a 1-ulp difference flips near-threshold
     // drop decisions, breaking the anchor==native bit-identity contract.
+    HT_TIC();
     if (ldlt) {
       // anchor (general kernel on a symmetric matrix) scales ut first and
       // updates d from scaled-ut * unscaled-l; mirror that exactly
@@ -1701,6 +1701,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       }
       for (i64 k = 0; k < nl; ++k) lv[k] /= dk;
     }
+    HT_TOC(c_scale);
 
     // ---- dropping ----
     i64 nnum = 0, nsp = 0;
@@ -1796,10 +1797,12 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   res->m = m;
   if (prof2)
     std::fprintf(stderr,
-                 "[ht_loop] kappa=%.2fGc ut=%.2fGc l=%.2fGc drop=%.2fGc "
+                 "[ht_loop] kappa=%.2fGc ut=%.2fGc l=%.2fGc scale=%.2fGc "
+                 "drop=%.2fGc "
                  "pushA=%.2fGc push=%.2fGc | nnzA=%lld kapV=%.1fM utV=%.1fM "
                  "lV=%.1fM swap=%.1fM pre=%.1fM kept=%.1fM\n",
-                 c_kappa * 1e-9, c_ut * 1e-9, c_l * 1e-9, c_drop * 1e-9,
+                 c_kappa * 1e-9, c_ut * 1e-9, c_l * 1e-9, c_scale * 1e-9,
+                 c_drop * 1e-9,
                  c_pushA * 1e-9,
                  c_push * 1e-9, (long long)Ap[n], n_kap_vis * 1e-6,
                  n_ut_vis * 1e-6, n_l_vis * 1e-6, n_swap * 1e-6,
