@@ -142,8 +142,18 @@ class HIF:
                       else A.data.astype(np.float64))
             vs = _nat.value_symm(A.nrows, A.indptr, A.indices, vals64)
             if vs is None:
-                AT = A.to_scipy()
-                vs = (AT != AT.T).nnz == 0
+                # Fail-closed like the native test: require exact
+                # STRUCTURAL symmetry too (identical sorted patterns), so
+                # the dispatch outcome never depends on native-lib
+                # availability and the symmetric finalize's
+                # row_ref == col_ref drop-cap invariant holds.
+                AT = A.to_scipy().tocsr()
+                AT.sort_indices()
+                ATT = AT.T.tocsr()
+                ATT.sort_indices()
+                vs = (np.array_equal(AT.indptr, ATT.indptr)
+                      and np.array_equal(AT.indices, ATT.indices)
+                      and np.array_equal(AT.data, ATT.data))
             if vs:
                 opts = dataclasses.replace(opts, is_symm=1)
                 hif_info(opts, "detected exactly symmetric input; using the "

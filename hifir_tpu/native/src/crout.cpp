@@ -119,8 +119,10 @@ struct DropEnt {
 // 3-4x slower in production than in warm same-process replays of the same
 // level (bench/bench_crout on the dumped level-2 operator: pushes 3.5 Gc
 // production-min vs 0.9 Gc warm).  Persisting the scratch across levels
-// (thread_local, capacity retained) makes every level after the fattest run
-// on already-touched memory.  HT_NO_WS=1 releases after each call (A/B).
+// (thread_local, capacity retained) would make every level after the fattest
+// run on already-touched memory, but retention was measured SLOWER on this
+// hypervisor-pressured host, so the DEFAULT is release-after-each-call;
+// HT_WS=1 opts in to retention (see maybe_release below).
 template <class VT>
 struct CroutWS {
   struct TP { i32 tag; i32 pos; };
@@ -1275,6 +1277,7 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   finalize_core<VT>(res, n, m, Ap, Ai, Av, row_ref, col_ref, schur_aL,
                     schur_aU, ordR, ordR, Lptr, Lids, Lvals, Uptr, Uids,
                     Uvals, dvec);
+  CroutWS<VT>::get().maybe_release();
   if (prof) {
     auto t_end = std::chrono::steady_clock::now();
     auto ms = [](auto a, auto b) {
@@ -2112,6 +2115,7 @@ void *pivot_crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   finalize_core<VT>(res, n, m, Ap, Ai, Av, row_ref, col_ref, schur_aL,
                     schur_aU, ordR, ordC, Lptr, Lids, Lvals, Uptr, Uids,
                     Uvals, dvec);
+  CroutWS<VT>::get().maybe_release();
   return res;
 }
 

@@ -386,6 +386,16 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
            schur_aL, schur_aU, int(symmetric))
     if not h:
         raise RuntimeError("native crout failed")
+    try:
+        return _export_crout_result(lib, h, n, vdt)
+    finally:
+        # Always free the Result shell, even if export raises midway; the
+        # per-matrix _MatHandle owners keep moved-out matrices alive
+        # independently.
+        lib.ht_res_free(h)
+
+
+def _export_crout_result(lib, h, n, vdt):
     m = lib.ht_res_m(h)
     nm = n - m
 
@@ -426,7 +436,6 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
     stats = np.empty(6, dtype=np.int64)
     lib.ht_res_copy_stats(h, stats)
     kmm = _fetch_kmm(lib, h)
-    lib.ht_res_free(h)  # everything exported was moved or copied out
     return m, L, U, S, E, F, d, ordf, stats, kmm
 
 
