@@ -384,7 +384,8 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     # --- dense last-level decision (ref factor.hpp:1212-1240) ---------------
     AmB_nnz = int(row_sizes[p_out[m:]].sum() + col_sizes[q_out[m:]].sum())
     dense_thres1 = int(max(opts.alpha_L, opts.alpha_U) * AmB_nnz)
-    dense_thres2 = max(int(math.ceil(opts.c_d * N ** (1.0 / 3.0))),
+    thres_floor = int(math.ceil(opts.c_d * N ** (1.0 / 3.0)))
+    dense_thres2 = max(thres_floor,
                        2000 if opts.dense_thres <= 0 else opts.dense_thres)
     nm = n - m
     # after an AUTO retry the pivoting kernel already ran, so moderate
@@ -392,6 +393,20 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
     to_dense = ((post_flag < 0 and (opts.pivot != PIVOTING_AUTO or use_pivot))
                 or int(math.ceil(nm * nm * opts.rho)) <= dense_thres1
                 or nm <= dense_thres2 or not m)
+    if (to_dense and opts.dense_defer and m and post_flag >= 0
+            and nm > thres_floor
+            and int(math.ceil(nm * nm * opts.rho)) > dense_thres1):
+        # Cost-aware refinement (deviation from ref factor.hpp:1231, opt-out
+        # via dense_defer=0): the static dense_thres floor alone triggered
+        # the switch, but this level factored healthily (m > 0.4*m2 is
+        # guaranteed here by the post-flag analysis) and the Schur is still
+        # sparse, so another sparse level is far cheaper than an O(nm^3)
+        # QRCP now.  Measured on poisson2d(256) robust: the reference pays a
+        # 1932^2 dense tail (fill 17.2, ~4.6 s, half of it geqp3); deferring
+        # until the c_d*N^(1/3) floor gives fill ~7.5 at ~0.6 s with GMRES
+        # iterations within one.  Recursion terminates: every deferred level
+        # shrinks the tail by >= 40% (else post_flag would have fired).
+        to_dense = False
 
     hif_info(opts, "level %d: m=%d/%d, defers=%d (diag %d, cond %d), "
                    "drops=%d (space %d), nnz(L_B)=%d nnz(U_B)=%d, "

@@ -107,6 +107,12 @@ class Options:
                               # symmetric real input (halves Crout scan work;
                               # the reference requires the user to set
                               # is_symm, Options.h:152)
+    dense_defer: int = 1      # cost-aware dense-switch refinement: ignore the
+                              # static dense_thres floor while levels factor
+                              # healthily and the c_d*N^(1/3) floor has not
+                              # been reached (avoids O(nm^3) QRCP on a
+                              # still-shrinking tail; 0 = exact reference
+                              # semantics, ref factor.hpp:1231-1235)
 
     # -- introspection ------------------------------------------------------
     _REF_FIELDS = (
@@ -125,7 +131,8 @@ class Options:
         """
         if (name not in self._REF_FIELDS
                 and name not in ("dtype", "use_native", "dist_schur",
-                                 "device_tail", "symm_detect")):
+                                 "device_tail", "symm_detect",
+                                 "dense_defer")):
             return True
         field_types = {f.name: f.type for f in dataclasses.fields(self)}
         ty = field_types[name]

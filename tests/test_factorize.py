@@ -616,3 +616,33 @@ def test_symm_detect_dispatch():
     xc, _, flagc = Mc.hifir(Ac, bc, 50, betas=(1e-12, 1e8))
     assert flagc == 0
     assert np.linalg.norm(Ac.matvec(xc) - bc) / np.linalg.norm(bc) <= 1e-10
+
+
+def test_dense_defer_cost_aware_switch():
+    """Cost-aware dense-switch refinement (Options.dense_defer, default on):
+    poisson2d(256) with robust defaults is the measured case where the
+    reference's static dense_thres floor (ref factor.hpp:1231-1235) triggers
+    an O(nm^3) QRCP on a healthy 1932-row tail (reference: fill 17.2 at
+    ~4.6 s).  Deferring until the c_d*N^(1/3) floor keeps the fill near the
+    sparse-path level without losing preconditioner quality."""
+    A = poisson2d(256)
+    M1 = HIF().factorize(A, Options(verbose=0))            # dense_defer=1
+    assert M1.nnz() / A.nnz < 8.0
+    # opt-out reproduces the reference semantics: the static 2000 floor
+    # takes a large dense tail on this operator
+    M0 = HIF().factorize(A, Options(verbose=0, dense_defer=0))
+    tail0 = next(p.n - p.m for p in M0.precs if p.dense_matrix is not None)
+    assert tail0 > 1500
+    assert M0.nnz() / A.nnz > 12.0
+    # quality parity: 10 Richardson steps land within ~2x of each other
+    # (measured trajectories: 8.5e-4 deferred vs 4.5e-4 reference-semantics)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.nrows)
+    rels = {}
+    for dd, M in ((1, M1), (0, M0)):
+        x = np.zeros(A.nrows)
+        for _ in range(10):
+            x = x + M.solve(b - A.matvec(x))
+        rels[dd] = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert rels[1] < 5e-3, rels
+    assert rels[1] < 3.0 * rels[0], rels
