@@ -10,10 +10,29 @@
 
 #include "common.hpp"
 
-// prefetch look-ahead of the hot U/L row scans; ~10 iterations covers a
-// DRAM-latency miss at the measured per-visit cost (A/B'd at 8/16/24)
+// Optional prefetch look-ahead of the hot U/L row scans (build with
+// -DHT_PF=16 to enable).  Default OFF since round 5: after the AMD
+// assembly-tree postorder the scatter maps are cache-resident for every
+// level in the tracked regime (wu/wl are 8B*n = 2-8 MB vs a 260 MB LLC on
+// this host), and the per-visit prefetch instruction stream measured as a
+// pure ~1 c/visit overhead (interleaved bench_crout replays of the dumped
+// 1M-convdiff level 2: ut 1.16 -> 1.06 Gc with it removed).
 #ifndef HT_PF
-#define HT_PF 16
+#define HT_PF 0
+#endif
+
+// Per-visit profiling counters (utV/lV/swap in the HT_PROFILE2 dump) cost
+// ~1 c/visit in the hot scans even when HT_PROFILE2 is unset (the
+// test+branch rides the loop); production builds compile them out.  Build
+// with -DHT_PROF_VISITS for the cross-check numbers (visit counts match
+// the reference's instrumented Crout.hpp; see BASELINE.md round-4).
+#ifdef HT_PROF_VISITS
+#define HT_VIS(expr) \
+  do {               \
+    if (prof2) expr; \
+  } while (0)
+#else
+#define HT_VIS(expr)
 #endif
 
 #include <chrono>
@@ -26,6 +45,7 @@
 #include <atomic>
 #include <thread>
 #include <x86intrin.h>
+#include <sys/mman.h>
 
 namespace {
 
@@ -168,6 +188,38 @@ struct CroutWS {
         std::getenv("HT_WS") && std::getenv("HT_WS")[0] == '1';
     if (!retain) *this = CroutWS();
   }
+};
+
+// Concurrent arena prefault: production factorizations release the Crout
+// workspace after every level (retention measured slower under hypervisor
+// memory pressure, see CroutWS), so each level's appends run on fresh
+// zero-fill-on-demand pages and the push phases pay one page fault per 4 KB
+// touched (~2x the warm cost: interleaved HT_WS=1 replays of the dumped
+// 1M-convdiff level 2 show pushA+push 1.05 -> 0.55 Gc warm).  The second
+// core is idle during the serial Crout loop, so a helper thread populates
+// the expected-use prefix of the big arenas via MADV_POPULATE_WRITE — a
+// kernel-side fault-in that never modifies already-present pages, hence
+// race-free against the concurrent appends.  No-op (EINVAL) on old kernels.
+#ifndef MADV_POPULATE_WRITE
+#define MADV_POPULATE_WRITE 23
+#endif
+struct Prefault {
+  std::thread th;
+  void go(std::vector<std::pair<void *, size_t>> regions) {
+    if (regions.empty()) return;
+    th = std::thread([regions]() {
+      for (const auto &r : regions) {
+        if (!r.second) continue;
+        const uintptr_t a = (uintptr_t)r.first;
+        const uintptr_t b = a & ~(uintptr_t)4095;
+        (void)madvise((void *)b, r.second + (a - b), MADV_POPULATE_WRITE);
+      }
+    });
+  }
+  void join() {
+    if (th.joinable()) th.join();
+  }
+  ~Prefault() { join(); }
 };
 
 // value-type tag for the C accessor dispatch (the reference instantiates
@@ -1097,7 +1149,7 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         i64 k = Lptr[j], end = Lend[j];
         while (k < end) {
           const i32 r = Lids[k];
-          if (k + HT_PF < end) __builtin_prefetch(&wl[Lids[k + HT_PF]], 1, 1);
+          if (HT_PF && k + HT_PF < end) __builtin_prefetch(&wl[Lids[k + HT_PF]], 1, 1);
           if (status[r] == 1) {
             --end;
             std::swap(Lids[k], Lids[end]);
@@ -1216,7 +1268,7 @@ void *crout_core_mt(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       i64 k = Uptr[j], end = Uend[j];
       while (k < end) {
         const i32 c = Uids[k];
-        if (k + HT_PF < end) __builtin_prefetch(&wu[Uids[k + HT_PF]], 1, 1);
+        if (HT_PF && k + HT_PF < end) __builtin_prefetch(&wu[Uids[k + HT_PF]], 1, 1);
         if (status[c] == 1) {
           --end;
           std::swap(Uids[k], Uids[end]);
@@ -1336,6 +1388,50 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   std::vector<i64> &Cp = ws.Cp;
   std::vector<i32> &Ci = ws.Ci;
   std::vector<VT> &Cv = ws.Cv;
+  const i64 nnzA = Ap[n];
+  const i64 rsv = nnzA * 4 + 16;
+  Adj<VT> &rows_of_L = ws.rows_of_L, &cols_of_U = ws.cols_of_U;
+  rows_of_L.reset(mir ? 0 : n, mir ? 0 : rsv);
+  cols_of_U.reset(n, rsv);
+  // Reserve the factor arrays up front and kick off the concurrent arena
+  // prefault (see Prefault) over the expected-use prefixes while the main
+  // thread runs the transpose + loop.  Populate depth: the kept-entry count
+  // per side is bounded by the space-dropping caps and empirically lands in
+  // [0.2, 1.1] * nnz(Ahat) on the tracked problems; 1.25 * nnz covers it
+  // without ballooning RSS (under-population just leaves residual faults).
+  ws.Lids.reserve(rsv);
+  ws.Lvals.reserve(rsv);
+  ws.Uids.reserve(rsv);
+  ws.Uvals.reserve(rsv);
+  Cp.reserve(n + 1);
+  Ci.reserve(nnzA);
+  Cv.reserve(nnzA);
+  Prefault pf;
+  if (!std::getenv("HT_NO_PREFAULT")) {
+    // 0.5*nnz default: covers the early hot growth of every tracked level
+    // while keeping the populate volume (and its kernel zeroing on core 2)
+    // well under the actually-used footprint — the 1.25*nnz full-coverage
+    // setting measurably slowed the finalize phases that follow (L2 post
+    // 1.9 -> 2.9 s) by zeroing never-used pages.  HT_PREFAULT_FRAC to A/B.
+    const char *pfr = std::getenv("HT_PREFAULT_FRAC");
+    const double frac = pfr ? std::atof(pfr) : 0.5;
+    const size_t cnt = (size_t)std::min(rsv, (i64)(nnzA * frac) + 16);
+    const size_t nodesz = sizeof(typename Adj<VT>::Node);
+    std::vector<std::pair<void *, size_t>> regions;
+    regions.emplace_back(Ci.data(), nnzA * sizeof(i32));
+    regions.emplace_back(Cv.data(), nnzA * sizeof(VT));
+    if (!ldlt) {  // U side materialized (general + mirror modes)
+      regions.emplace_back(cols_of_U.pool.data(), cnt * nodesz);
+      regions.emplace_back(ws.Uids.data(), cnt * sizeof(i32));
+      regions.emplace_back(ws.Uvals.data(), cnt * sizeof(VT));
+    }
+    if (!mir) {  // L side materialized in the loop (general + LDL^T)
+      regions.emplace_back(rows_of_L.pool.data(), cnt * nodesz);
+      regions.emplace_back(ws.Lids.data(), cnt * sizeof(i32));
+      regions.emplace_back(ws.Lvals.data(), cnt * sizeof(VT));
+    }
+    pf.go(std::move(regions));
+  }
   ht::transpose_csr(n, n, Ap, Ai, Av, Cp, Ci, Cv);
   if (std::getenv("HT_PROFILE")) {
     auto t_tr = std::chrono::steady_clock::now();
@@ -1348,10 +1444,6 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   d.assign(d0, d0 + m2);
   std::vector<unsigned char> &status = ws.status;
   status.assign(n, 0);  // 0 pending 1 accepted 2 deferred
-  const i64 rsv = Ap[n] * 4 + 16;
-  Adj<VT> &rows_of_L = ws.rows_of_L, &cols_of_U = ws.cols_of_U;
-  rows_of_L.reset(mir ? 0 : n, mir ? 0 : rsv);
-  cols_of_U.reset(n, rsv);
   // mode-2 tail views of L columns, keyed by step j; node.step holds the
   // row id (the reference's symm_update_lstart L_offsets play this role)
   Adj<VT> &tail_of_L = ws.tail_of_L;
@@ -1479,7 +1571,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             adjU_j.push_back(j);
             adjU_v.push_back(v);
             sumu += kap_u[j] * v;
-            if (prof2) ++n_kap_vis;
+            HT_VIS(++n_kap_vis);
           }
           if (el >= 0) {
             const i32 j = rows_of_L.pool[el].step;
@@ -1505,7 +1597,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             adjU_j.push_back(j);
             adjU_v.push_back(v);
             sum += kap_u[j] * v;
-            if (prof2) ++n_kap_vis;
+            HT_VIS(++n_kap_vis);
           }
           const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
           ku = std::abs(k1) < std::abs(k2) ? k2 : k1;
@@ -1561,8 +1653,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         i64 k = Uptr[j], end = Uend[j];
         while (k < end) {
           const i32 c = Uids[k];
-          if (k + HT_PF < end) __builtin_prefetch(&wu[Uids[k + HT_PF]], 1, 1);
-          if (prof2) ++n_ut_vis;
+          if (HT_PF && k + HT_PF < end) __builtin_prefetch(&wu[Uids[k + HT_PF]], 1, 1);
+          HT_VIS(++n_ut_vis);
           const TP tp = wu[c];  // one 8-byte load covers tag AND pos
           const i32 tg = tp.tag;
           // hottest case first: already a candidate this step.  tg == stp
@@ -1575,7 +1667,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             continue;
           }
           if (tg == TOMB) {  // consumed: swap out of the live region
-            if (prof2) ++n_swap;
+            HT_VIS(++n_swap);
             --end;
             std::swap(Uids[k], Uids[end]);
             std::swap(Uvals[k], Uvals[end]);
@@ -1635,8 +1727,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         i64 k = Lptr[j], end = Lend[j];
         while (k < end) {
           const i32 r = Lids[k];
-          if (k + HT_PF < end) __builtin_prefetch(&wl[Lids[k + HT_PF]], 1, 1);
-          if (prof2) ++n_l_vis;
+          if (HT_PF && k + HT_PF < end) __builtin_prefetch(&wl[Lids[k + HT_PF]], 1, 1);
+          HT_VIS(++n_l_vis);
           const TP tp = wl[r];  // one 8-byte load covers tag AND pos
           const i32 tg = tp.tag;
           if (tg == stp) {  // seen this step (see the ut-scan note)
@@ -1718,11 +1810,10 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       if (prof2) n_kept += kept;
       HT_TOC2(c_drop);
       HT_TIC2();
-      // issue ALL head-slot prefetches upfront: each insert is one random
-      // RMW; at ~250 ns DRAM an 8-ahead inline prefetch is far too shallow,
-      // while a full sweep lets the fill buffers overlap the whole batch
-      for (i64 k = 0; k < kept; ++k)
-        __builtin_prefetch(&cols_of_U.head[keep[k].id], 1, 3);
+      // (the former upfront head-slot prefetch sweep was removed in round
+      // 5: with the 260 MB LLC the head arrays are cache-resident and the
+      // sweep measured as pure overhead — pushA 0.66 -> 0.52 Gc on the
+      // dumped 1M-convdiff level 2)
       for (i64 k = 0; k < kept; ++k) {
         const i32 c = keep[k].id;
         Uids.push_back(c);
@@ -1753,8 +1844,6 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       for (i64 k = 0; k < kept; ++k)
         tail_of_L.add(step, keep[k].id, keep[k].val);
     } else {
-      for (i64 k = 0; k < kept; ++k)
-        __builtin_prefetch(&rows_of_L.head[keep[k].id], 1, 3);
       for (i64 k = 0; k < kept; ++k) {
         Lids.push_back(keep[k].id);
         Lvals.push_back(keep[k].val);
@@ -1827,6 +1916,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
     if (status[id] == 1) ordR.push_back(id);
   for (i64 id = m2; id < n; ++id) ordR.push_back(id);
   for (i64 id : deferred) ordR.push_back(id);
+  pf.join();  // before finalize competes for the 2nd core / ws release
   finalize_core<VT>(res, n, m, Ap, Ai, Av, row_ref, col_ref, schur_aL,
                     schur_aU, ordR, ordR, Lptr, Lids, Lvals, Uptr, Uids,
                     Uvals, dvec, /*sym=*/ldlt);
