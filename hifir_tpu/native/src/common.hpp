@@ -75,7 +75,12 @@ struct CsrBuf {
   i64 nrows() const { return (i64)indptr.size() - 1; }
 };
 
-// transpose a CSR (nrows x ncols) into CSC arrays (per-column rows)
+// transpose a CSR (nrows x ncols) into CSC arrays (per-column rows).
+// Two-thread counting transpose for large inputs: each thread counts its
+// row half's columns, an exclusive scan over (half, column) assigns every
+// (half, column) run a disjoint output slot range, and the two fill passes
+// scatter concurrently with no overlap (row order within a column is
+// preserved because half 0's slots precede half 1's for every column).
 template <class VT>
 inline void transpose_csr(i64 nrows, i64 ncols, const i64 *indptr,
                           const i32 *indices, const VT *vals,
@@ -83,10 +88,48 @@ inline void transpose_csr(i64 nrows, i64 ncols, const i64 *indptr,
                           std::vector<VT> &cval) {
   const i64 nnz = indptr[nrows];
   cptr.assign(ncols + 1, 0);
-  for (i64 k = 0; k < nnz; ++k) ++cptr[indices[k] + 1];
-  for (i64 j = 0; j < ncols; ++j) cptr[j + 1] += cptr[j];
   crow.resize(nnz);
   cval.resize(nnz);
+  if (nnz >= (i64)1 << 22) {
+    const i64 mid = nrows / 2;
+    std::vector<i64> cnt0(ncols, 0), cnt1(ncols, 0);
+#pragma omp parallel sections num_threads(2)
+    {
+#pragma omp section
+      for (i64 k = indptr[0]; k < indptr[mid]; ++k) ++cnt0[indices[k]];
+#pragma omp section
+      for (i64 k = indptr[mid]; k < indptr[nrows]; ++k) ++cnt1[indices[k]];
+    }
+    // next0[c] = start slot of half 0's run in column c; next1[c] follows it
+    std::vector<i64> next0(ncols), next1(ncols);
+    i64 acc = 0;
+    for (i64 c = 0; c < ncols; ++c) {
+      next0[c] = acc;
+      next1[c] = acc + cnt0[c];
+      acc += cnt0[c] + cnt1[c];
+      cptr[c + 1] = acc;
+    }
+#pragma omp parallel sections num_threads(2)
+    {
+#pragma omp section
+      for (i64 i = 0; i < mid; ++i)
+        for (i64 k = indptr[i]; k < indptr[i + 1]; ++k) {
+          const i64 pos = next0[indices[k]]++;
+          crow[pos] = (i32)i;
+          cval[pos] = vals[k];
+        }
+#pragma omp section
+      for (i64 i = mid; i < nrows; ++i)
+        for (i64 k = indptr[i]; k < indptr[i + 1]; ++k) {
+          const i64 pos = next1[indices[k]]++;
+          crow[pos] = (i32)i;
+          cval[pos] = vals[k];
+        }
+    }
+    return;
+  }
+  for (i64 k = 0; k < nnz; ++k) ++cptr[indices[k] + 1];
+  for (i64 j = 0; j < ncols; ++j) cptr[j + 1] += cptr[j];
   std::vector<i64> next(cptr.begin(), cptr.end() - 1);
   for (i64 i = 0; i < nrows; ++i)
     for (i64 k = indptr[i]; k < indptr[i + 1]; ++k) {
