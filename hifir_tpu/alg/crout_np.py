@@ -131,6 +131,16 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         ``d[c] -= (l[c]/dk) * l[c]`` on the *unscaled* column (ref
         ``factor.hpp:818-820,906-931`` for the ``IsSymm`` LDLᵀ variant; the
         native kernel's mode 1 — this anchor is its spec).
+        3 = Hermitian LDL^H (complex ``opts.is_symm`` with A == A^H): the
+        LDL^T walk with three conjugations — the U[:, idk] multiplier is
+        ``conj(L[idk, j])``, the trailing diagonal update is
+        ``d[r] -= (l[r]/dk) * conj(l[r])`` (d stays exactly real), and the
+        mirrored U rows store ``conj(l)`` so U = L^H.  NOTE this is a
+        deliberate deviation: the reference's own is_symm on complex input
+        produces a broken preconditioner (measured err ~1 vs 5e-16 on its
+        general path for both Hermitian and complex-symmetric input; its
+        Crout loop never conjugates while its finalize transposes do —
+        symm_factor.hpp:522,551).
         2 = pattern-symmetric *mirror* mode, matching the
         reference's ``level_factorize<IsSymm=true>`` instantiation (used for
         levels <= 2 when the pattern is >= nzp_thres symmetric and q == p,
@@ -148,7 +158,8 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
     n = Ahat.nrows
     dtype = Ahat.data.dtype
     mirror = symm_mode == 2
-    ldlt = symm_mode == 1
+    herm = symm_mode == 3
+    ldlt = symm_mode == 1 or herm
     kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = determine_fac_pars(
         opts, level)
 
@@ -231,8 +242,11 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         if step:
             if ldlt:
                 # LDLᵀ: one kappa recurrence serves both sides
-                # (ref factor.hpp:818-820)
-                ku = kl = _kappa_new(rows_of_L_j, rows_of_L_v, kappa_l, idk)
+                # (ref factor.hpp:818-820); LDL^H: kappa_u = conj(kappa_l)
+                # (U = L^H makes the U-side recurrence the conjugate of the
+                # L-side one, inductively)
+                kl = _kappa_new(rows_of_L_j, rows_of_L_v, kappa_l, idk)
+                ku = np.conj(kl) if herm else kl
             else:
                 ku = _kappa_new(cols_of_U_j, cols_of_U_v, kappa_u, idk)
                 kl = ku if mirror else _kappa_new(rows_of_L_j, rows_of_L_v,
@@ -297,7 +311,8 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
         col_adj_j = rows_of_L_j[idk] if ldlt else cols_of_U_j[idk]
         col_adj_v = rows_of_L_v[idk] if ldlt else cols_of_U_v[idk]
         for j, ujk in zip(reversed(col_adj_j), reversed(col_adj_v)):
-            du = dvec[j] * ujk
+            # LDL^H: U[j, idk] = conj(L[idk, j])
+            du = dvec[j] * (np.conj(ujk) if herm else ujk)
             tail_r = Ltail_r[j] if mirror else L_ids[j]
             tail_v = Ltail_v[j] if mirror else L_vals[j]
             for r, lv in zip(tail_r, tail_v):
@@ -317,10 +332,13 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
             buf_u[c] /= dk
         if ldlt:
             # d[c] -= (l[c]/dk) * l[c] on the unscaled column, exactly the
-            # native mode-1 order (scale-one-factor then multiply)
+            # native mode-1 order (scale-one-factor then multiply);
+            # LDL^H conjugates the second factor (update stays exactly real
+            # when dk is real: l*conj(l) has fp-exact zero imaginary part)
             for r in l_list:
                 if r < m2 and status[r] == _PENDING:
-                    d[r] -= (buf_l[r] / dk) * buf_l[r]
+                    d[r] -= (buf_l[r] / dk) * (np.conj(buf_l[r]) if herm
+                                               else buf_l[r])
         elif mirror:
             # d[c] -= dk * ut_scaled[c]^2 (ref update_diag<true>,
             # Crout.hpp:613-630; no conjugation — symmetric, not Hermitian)
@@ -366,10 +384,11 @@ def crout_level_np(Ahat: CSR, d0: np.ndarray, m2: int, level: int,
 
         # --- store and update adjacency ---
         if ldlt:
-            # U row = kept l entries (U = Lᵀ); cols_of_U is never traversed
-            # in this mode, so no adjacency update on the U side
+            # U row = kept l entries (U = Lᵀ; conj for LDL^H so U = L^H);
+            # cols_of_U is never traversed in this mode, so no adjacency
+            # update on the U side
             U_ids.append(l_ids)
-            U_vals.append(l_vals)
+            U_vals.append(np.conj(l_vals) if herm else l_vals)
         else:
             U_ids.append(ut_ids)
             U_vals.append(ut_vals)

@@ -79,6 +79,24 @@ class LevelPrec:
         return out
 
 
+def _symm_kernel_mode(opts: Options, Ahat: CSR, sym_block: bool) -> int:
+    """Crout kernel mode for this level (shared by the native and anchor
+    branches): 0 general LDU; 1 LDL^T (real or complex-symmetric is_symm);
+    3 Hermitian LDL^H (complex is_symm classified as A == A^H by
+    ``api.factorize`` via ``opts.symm_kind == 2``); 2 declared symmetric
+    leading block (m0 > 0, ref builder.hpp:534,546-567)."""
+    if bool(opts.is_symm):
+        if np.iscomplexobj(Ahat.data):
+            # symm_kind: 1 = A == A^T, 2 = A == A^H.  Unclassified complex
+            # (user constructed options by hand and bypassed api.factorize's
+            # classification) falls back to the general path — unlike the
+            # reference, whose is_symm on complex input silently produces a
+            # broken factorization (BASELINE.md round-5).
+            return {1: 1, 2: 3}.get(int(getattr(opts, "symm_kind", 0)), 0)
+        return 1
+    return 2 if sym_block else 0
+
+
 def _drop_offsets(M: CSR, ref_sizes: np.ndarray, alpha: float) -> CSR:
     """Per-row space cap on the offset factors L_E / U_F
     (ref ``alg/Schur.hpp:61-134`` drop_offsets_kernel)."""
@@ -250,17 +268,17 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         kmm = None
     elif use_native:
         pars = determine_fac_pars(opts, level)
-        # kernel mode: 1 = LDL^T mirror (U = L^T), valid for real symmetric
-        # input under opts.is_symm (Hermitian complex needs U = conj(L)^T,
-        # so complex is_symm takes the general path); 2 = symmetric
-        # leading-block mirror matching the reference's
-        # level_factorize<IsSymm=true> dispatch (builder.hpp:534,546-567,
-        # taken only when the user declares a symmetric leading block with
-        # m0 > 0 at level 1); 0 = general LDU
-        if bool(opts.is_symm):
-            symm_kernel = 0 if np.iscomplexobj(Ahat.data) else 1
-        else:
-            symm_kernel = 2 if sym_block else 0
+        # kernel mode: 1 = LDL^T mirror (U = L^T), for real or
+        # complex-symmetric input under opts.is_symm; 3 = Hermitian LDL^H
+        # (U = conj(L)^T) when api.factorize classified the complex input as
+        # A == A^H (opts.symm_kind == 2) — a correctness improvement over
+        # the reference, whose own is_symm on complex input is broken
+        # (BASELINE.md round-5 measurement); 2 = symmetric leading-block
+        # mirror matching the reference's level_factorize<IsSymm=true>
+        # dispatch (builder.hpp:534,546-567, taken only when the user
+        # declares a symmetric leading block with m0 > 0 at level 1);
+        # 0 = general LDU
+        symm_kernel = _symm_kernel_mode(opts, Ahat, sym_block)
         (m, Ltrip, Utrip, Strip, Etrip, Ftrip, dvec_n, ordf,
          nstats, kmm) = _native.crout(Ahat, d0, m2, pars, row_ref, col_ref,
                                  a_L, a_U, symmetric=symm_kernel)
@@ -274,12 +292,8 @@ def level_factorize(A: CSR, m0: int, N: int, level: int, opts: Options,
         S_native = CSR(n - m, n - m, *Strip)
         EF_native = (CSR(n - m, m, *Etrip), CSR(m, n - m, *Ftrip))
     else:
-        # same mode dispatch as the native branch above: is_symm + real ->
-        # LDLᵀ (mode 1); declared symmetric leading block -> mirror (mode 2)
-        if bool(opts.is_symm):
-            anchor_mode = 0 if np.iscomplexobj(Ahat.data) else 1
-        else:
-            anchor_mode = 2 if sym_block else 0
+        # same mode dispatch as the native branch above
+        anchor_mode = _symm_kernel_mode(opts, Ahat, sym_block)
         res = crout_level_np(Ahat, d0, m2, level, opts, row_ref, col_ref,
                              symm_mode=anchor_mode)
         kmm = None

@@ -25,8 +25,44 @@ from .alg.prec_solve_np import prec_prod_np, prec_prod_tran_np, prec_solve_np
 from .ds.csr import CSR
 from .options import Options, get_default_options
 from .small_scale.dense import SYEIG, make_dense_solver
-from .utils.log import hif_error, hif_info
+from .utils.log import hif_error, hif_info, hif_warning
 from .utils.timer import Timer
+
+
+def _classify_symmetry(A: CSR) -> int:
+    """0 = neither; 1 = exactly A == A^T (values); 2 = exactly A == A^H.
+
+    Real input uses the native O(nnz) test (``ht_value_symm``; the scipy
+    fallback is fail-closed on structure to match it); complex input
+    compares the sorted CSR of A against A^T and conj(A^T)."""
+    if A.data.dtype in (np.float64, np.float32):
+        from .pre import _native as _nat
+
+        vals64 = (A.data if A.data.dtype == np.float64
+                  else A.data.astype(np.float64))
+        vs = _nat.value_symm(A.nrows, A.indptr, A.indices, vals64)
+        if vs is None:
+            As = A.to_scipy().tocsr()
+            As.sort_indices()
+            AT = As.T.tocsr()
+            AT.sort_indices()
+            vs = (np.array_equal(As.indptr, AT.indptr)
+                  and np.array_equal(As.indices, AT.indices)
+                  and np.array_equal(As.data, AT.data))
+        return 1 if vs else 0
+    if np.iscomplexobj(A.data):
+        As = A.to_scipy().tocsr()
+        As.sort_indices()
+        AT = As.T.tocsr()
+        AT.sort_indices()
+        if not (np.array_equal(As.indptr, AT.indptr)
+                and np.array_equal(As.indices, AT.indices)):
+            return 0
+        if np.array_equal(As.data, AT.data):
+            return 1
+        if np.array_equal(As.data, np.conj(AT.data)):
+            return 2
+    return 0
 
 __all__ = ["HIF"]
 
@@ -127,37 +163,38 @@ class HIF:
             A = CSR(A.nrows, A.ncols, A.indptr, A.indices,
                     A.data.astype(want))
 
-        # auto-LDL^T dispatch: a provably symmetric real input runs the
-        # mode-1 mirror kernel end-to-end (half the Crout scan work, one
-        # stored triangular side per level until the splits).  The reference
-        # leaves this to the user (is_symm, ref Options.h:152); detection is
-        # one O(nnz) exact A == A^T test.  m0 > 0 keeps the reference's
-        # declared-leading-block semantics instead.
+        # auto-LDL^T / LDL^H dispatch: a provably symmetric (A == A^T) or
+        # Hermitian (A == A^H) input runs the one-sided mirror kernel
+        # end-to-end (half the Crout scan work, one stored triangular side
+        # per level until the splits).  The reference leaves this to the
+        # user (is_symm, ref Options.h:152) — and its own is_symm on COMPLEX
+        # input produces a broken preconditioner (measured; BASELINE.md
+        # round-5), so the complex modes here are a deliberate correctness
+        # improvement.  Detection is one O(nnz) exact test.  m0 > 0 keeps
+        # the reference's declared-leading-block semantics instead.
         if (opts.symm_detect and not opts.is_symm and m0 == 0
-                and not opts.no_pre
-                and A.data.dtype in (np.float64, np.float32)):
-            from .pre import _native as _nat
-
-            vals64 = (A.data if A.data.dtype == np.float64
-                      else A.data.astype(np.float64))
-            vs = _nat.value_symm(A.nrows, A.indptr, A.indices, vals64)
-            if vs is None:
-                # Fail-closed like the native test: require exact
-                # STRUCTURAL symmetry too (identical sorted patterns), so
-                # the dispatch outcome never depends on native-lib
-                # availability and the symmetric finalize's
-                # row_ref == col_ref drop-cap invariant holds.
-                AT = A.to_scipy().tocsr()
-                AT.sort_indices()
-                ATT = AT.T.tocsr()
-                ATT.sort_indices()
-                vs = (np.array_equal(AT.indptr, ATT.indptr)
-                      and np.array_equal(AT.indices, ATT.indices)
-                      and np.array_equal(AT.data, ATT.data))
-            if vs:
-                opts = dataclasses.replace(opts, is_symm=1)
-                hif_info(opts, "detected exactly symmetric input; using the "
-                               "LDL^T path (symm_detect=0 disables)")
+                and not opts.no_pre):
+            kind = _classify_symmetry(A)
+            if kind:
+                opts = dataclasses.replace(opts, is_symm=1, symm_kind=kind)
+                hif_info(opts, "detected exactly %s input; using the "
+                               "LDL^%s path (symm_detect=0 disables)",
+                         "Hermitian" if kind == 2 else "symmetric",
+                         "H" if kind == 2 else "T")
+        elif (opts.is_symm and not opts.symm_kind
+                and np.iscomplexobj(A.data)):
+            # user-declared is_symm on complex input: classify so the kernel
+            # knows whether the mirror conjugates (A == A^H) or not
+            # (A == A^T); neither -> general path with a warning (the
+            # reference would silently factorize wrong here)
+            kind = _classify_symmetry(A)
+            if kind:
+                opts = dataclasses.replace(opts, symm_kind=kind)
+            else:
+                hif_warning("is_symm set but the complex input is neither "
+                            "exactly symmetric nor Hermitian; using the "
+                            "general LDU path")
+                opts = dataclasses.replace(opts, is_symm=0)
         t = Timer().start()
         n_first = A.nrows
         N = opts.N if opts.N >= 0 else n_first
@@ -186,7 +223,12 @@ class HIF:
         # factor the dense tail if present (ref factor.hpp:1284-1296)
         last = self.precs[-1]
         if last.dense_matrix is not None:
-            symm = bool(opts.is_symm)
+            # SYEIG assumes a Hermitian tail: correct for real symmetric and
+            # complex-Hermitian (LDL^H) levels; a complex-SYMMETRIC tail
+            # (A == A^T, symm_kind 1) is not Hermitian, so it takes the
+            # rank-revealing QRCP instead
+            symm = bool(opts.is_symm) and not (
+                np.iscomplexobj(last.dense_matrix) and opts.symm_kind == 1)
             solver = make_dense_solver(symm, opts.spd,
                                        device=bool(opts.device_tail))
             solver.factorize(last.dense_matrix, opts)

@@ -47,6 +47,15 @@
 #include <x86intrin.h>
 #include <sys/mman.h>
 
+// identity on real types, std::conj on complex (the Hermitian LDL^H mode
+// conjugates the mirrored side; real/symmetric modes must be unchanged)
+template <class T>
+static inline T ht_conj(const T &x) { return x; }
+template <class T>
+static inline std::complex<T> ht_conj(const std::complex<T> &x) {
+  return std::conj(x);
+}
+
 namespace {
 
 // Optional (HT_MALLOC_TUNE=1): keep GB-scale level buffers in the sbrk heap
@@ -345,7 +354,8 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
                    const std::vector<i64> &Lptr, const std::vector<i32> &Lids,
                    const std::vector<VT> &Lvals, const std::vector<i64> &Uptr,
                    const std::vector<i32> &Uids, const std::vector<VT> &Uvals,
-                   const std::vector<VT> &dvec, bool sym = false) {
+                   const std::vector<VT> &dvec, bool sym = false,
+                   bool herm = false) {
   const bool prof = std::getenv("HT_PROFILE") != nullptr;
   auto tprev = std::chrono::steady_clock::now();
   auto mark = [&](const char *what) {
@@ -441,7 +451,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         for (i64 k = res->Ep[i]; k < res->Ep[i + 1]; ++k) {
           const i64 pos = nx[res->Ei[k]]++;
           res->Fi[pos] = (i32)i;
-          res->Fv[pos] = res->Ev[k];
+          res->Fv[pos] = herm ? ht_conj(res->Ev[k]) : res->Ev[k];
         }
     }
   } else {
@@ -618,7 +628,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
       for (i64 k = res->Lp[i]; k < res->Lp[i + 1]; ++k) {
         const i64 pos = nx[res->Li[k]]++;
         res->Ui[pos] = (i32)i;
-        res->Uv[pos] = res->Lv[k];
+        res->Uv[pos] = herm ? ht_conj(res->Lv[k]) : res->Lv[k];
       }
   }
  }  // omp section (U/L splits)
@@ -753,7 +763,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
         for (i64 k = LEp[i]; k < LEp[i + 1]; ++k) {
           const i64 pos = nx[LEi[k]]++;
           UFi[pos] = (i32)i;
-          UFv[pos] = LEv[k];
+          UFv[pos] = herm ? ht_conj(LEv[k]) : LEv[k];
         }
     }
 
@@ -1007,7 +1017,7 @@ void finalize_core(Result<VT> *res, i64 n, i64 m, const i64 *Ap,
               const i32 c = LoI[k];
               if (c != (i32)i && c >= lo && c < hi) {
                 res->Si[nx[c - lo]] = (i32)i;
-                res->Sv[nx[c - lo]++] = LoV[k];
+                res->Sv[nx[c - lo]++] = herm ? ht_conj(LoV[k]) : LoV[k];
               }
             }
         }
@@ -1363,7 +1373,11 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   // kappa_l = kappa_ut, and the trailing diagonal update uses ut alone
   // (ref Crout.hpp:271-356,613-630,803-850; factor.hpp:903-983).  The
   // Python anchor for mode 2 is crout_level_np(..., symm_mode=2).
-  const bool ldlt = symmetric == 1;
+  // 3 = Hermitian LDL^H: the LDL^T walk with conjugated mirror (U = L^H);
+  // a deliberate improvement over the reference, whose own is_symm on
+  // complex input produces a broken preconditioner (BASELINE.md round-5)
+  const bool herm = symmetric == 3;
+  const bool ldlt = symmetric == 1 || herm;
   const bool mir = symmetric == 2;
 
   // fat levels run the dual-thread variant (identical results); requires
@@ -1615,7 +1629,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           const VT k1 = VT(1.0) - sum, k2 = VT(-1.0) - sum;
           kl = std::abs(k1) < std::abs(k2) ? k2 : k1;
         }
-        if (ldlt) ku = kl;
+        if (ldlt) ku = herm ? ht_conj(kl) : kl;  // U = L^H: conj recurrence
         if (mir) kl = ku;
       }
     }
@@ -1723,7 +1737,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       const std::vector<VT> &cv = ldlt ? adjL_v : adjU_v;
       for (i64 e = 0; e < (i64)cj.size(); ++e) {
         const i32 j = cj[e];
-        const VT du = dvec[j] * cv[e];
+        // LDL^H: U[j, idk] = conj(L[idk, j])
+        const VT du = dvec[j] * (herm ? ht_conj(cv[e]) : cv[e]);
         i64 k = Lptr[j], end = Lend[j];
         while (k < end) {
           const i32 r = Lids[k];
@@ -1766,7 +1781,8 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       // updates d from scaled-ut * unscaled-l; mirror that exactly
       for (i64 k = 0; k < nl; ++k) {
         const i32 c = l_ids[k];
-        if (c < m2 && status[c] == 0) d[c] -= (lv[k] / dk) * lv[k];
+        if (c < m2 && status[c] == 0)
+          d[c] -= (lv[k] / dk) * (herm ? ht_conj(lv[k]) : lv[k]);
       }
       for (i64 k = 0; k < nl; ++k) lv[k] /= dk;
       // mirror for the dropping below: ut = l
@@ -1919,7 +1935,7 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   pf.join();  // before finalize competes for the 2nd core / ws release
   finalize_core<VT>(res, n, m, Ap, Ai, Av, row_ref, col_ref, schur_aL,
                     schur_aU, ordR, ordR, Lptr, Lids, Lvals, Uptr, Uids,
-                    Uvals, dvec, /*sym=*/ldlt);
+                    Uvals, dvec, /*sym=*/ldlt, /*herm=*/herm);
   if (prof) {
     auto t_end = std::chrono::steady_clock::now();
     auto ms = [](auto a, auto b) {

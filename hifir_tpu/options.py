@@ -107,6 +107,11 @@ class Options:
                               # symmetric real input (halves Crout scan work;
                               # the reference requires the user to set
                               # is_symm, Options.h:152)
+    symm_kind: int = 0        # complex is_symm classification set by
+                              # api.factorize: 1 = A == A^T (LDL^T),
+                              # 2 = A == A^H (Hermitian LDL^H), 0 = unset
+                              # (real input, or unclassified complex ->
+                              # general path)
     dense_defer: int = 1      # cost-aware dense-switch refinement: ignore the
                               # static dense_thres floor while levels factor
                               # healthily and the c_d*N^(1/3) floor has not
@@ -132,7 +137,7 @@ class Options:
         if (name not in self._REF_FIELDS
                 and name not in ("dtype", "use_native", "dist_schur",
                                  "device_tail", "symm_detect",
-                                 "dense_defer")):
+                                 "dense_defer", "symm_kind")):
             return True
         field_types = {f.name: f.type for f in dataclasses.fields(self)}
         ty = field_types[name]

@@ -344,9 +344,10 @@ def crout(Ahat, d0: np.ndarray, m2: int, pars: Tuple[float, float, float,
     :func:`hifir_tpu.alg.crout_np.crout_level_np` plus the L_E/U_F dropping,
     Schur formation and E/F block extraction fused in.
 
-    ``symmetric``: 0 = general LDU, 1 = LDL^T (opts.is_symm), 2 =
-    pattern-symmetric mirror mode (the reference's
-    ``level_factorize<IsSymm=true>``; anchor ``crout_level_np(symm_mode=2)``).
+    ``symmetric``: 0 = general LDU, 1 = LDL^T (opts.is_symm; real or
+    complex-symmetric), 2 = pattern-symmetric mirror mode (the reference's
+    ``level_factorize<IsSymm=true>``; anchor ``crout_level_np(symm_mode=2)``),
+    3 = Hermitian LDL^H (complex A == A^H; anchor ``symm_mode=3``).
     """
     lib = _load()
     kappa_d, kappa, tau_U, tau_L, alpha_L, alpha_U = pars
