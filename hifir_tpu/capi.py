@@ -31,7 +31,7 @@ from .utils.log import hif_error
 __all__ = [
     "OP_S", "OP_SH", "OP_M", "OP_MH",
     "create", "setup", "update", "refactorize", "destroy",
-    "apply", "solve", "get_stats", "get_nnz", "get_levels",
+    "apply", "solve", "solve_mrhs", "get_stats", "get_nnz", "get_levels",
     "get_schur_size", "get_schur_rank", "is_mixed", "empty",
 ]
 
@@ -148,6 +148,21 @@ def solve(handle: int, b: np.ndarray, trans: bool = False, rank: int = 0
     """Plain M-solve (ref ``lhf?Solve``, libhifir.h:698)."""
     x, _, _ = apply(handle, OP_SH if trans else OP_S, b, 1, None, rank)
     return x
+
+
+def solve_mrhs(handle: int, B: np.ndarray, trans: bool = False,
+               rank: int = 0) -> np.ndarray:
+    """Batched multi-RHS M-solve: X = M^{-1} B for an (n, k) block.
+
+    EXTENSION over the reference C ABI: ``prec_solve_mrhs``
+    (ref prec_solve.hpp:428) is only reachable from its C++ ``solve_mrhs``
+    (builder.hpp), never exported through libhifir.h; here the C surface
+    gets it too (``lhf?SolveMrhs``)."""
+    st = _get(handle)
+    M: HIF = st["M"]
+    if M.empty():
+        hif_error("apply on an empty preconditioner")
+    return M.solve_mrhs(np.asarray(B), r=rank, trans=trans)
 
 
 def get_stats(handle: int) -> np.ndarray:

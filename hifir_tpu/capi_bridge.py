@@ -176,6 +176,35 @@ def apply(handle: int, op: int, b_addr: int, n: int, nirs: int,
         return _seterr(e)
 
 
+def set_warning(on: int) -> int:
+    """ref ``lhfEnableWarning``/``lhfDisableWarning`` (libhifir.h:245-250)."""
+    try:
+        from hifir_tpu.utils.log import enable_warnings
+
+        enable_warnings(bool(on))
+        return LHF_SUCCESS
+    except Exception as e:
+        return _seterr(e)
+
+
+def solve_mrhs(handle: int, n: int, b_addr: int, nrhs: int, trans: int,
+               rank: int, x_addr: int, dtype_code: int) -> int:
+    """``lhf?SolveMrhs`` (extension; see capi.solve_mrhs): B and X are
+    ``nrhs`` consecutive length-``n`` vectors (column-major n-by-nrhs)."""
+    try:
+        dt = _DTYPES[dtype_code]
+        B = _view(b_addr, n * nrhs, dt).reshape(nrhs, n).T
+        X = _view(x_addr, n * nrhs, dt).reshape(nrhs, n).T
+        if rank == -2:  # LHF_DEFAULT_RANK
+            rank = 0
+        XR = capi.solve_mrhs(handle, np.ascontiguousarray(B),
+                             trans=bool(trans), rank=rank)
+        np.copyto(X, XR.astype(dt, copy=False))
+        return LHF_SUCCESS
+    except Exception as e:
+        return _seterr(e)
+
+
 def get_stats(handle: int, stats_addr: int) -> int:
     """ref ``lhf?GetStats`` 9-slot layout (libhifir.h:716-735)."""
     try:

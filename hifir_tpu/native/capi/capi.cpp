@@ -138,23 +138,52 @@ struct MatrixAny {
   std::vector<LhfIndPtr> indptr;
   std::vector<LhfInt> indices;
   std::vector<unsigned char> vals;  // raw typed storage
-  int64_t nnz() const {
-    return indptr.empty() ? 0 : (int64_t)indptr.back();
+  // zero-copy wrap mode (ref lhf?WrapMatrix / Array DATA_WRAP semantics,
+  // ds/Array.hpp:60-62): the handle borrows the user's arrays, so a later
+  // Setup reads their CURRENT contents
+  bool wrapped = false;
+  const LhfIndPtr* w_ip = nullptr;
+  const LhfInt* w_ind = nullptr;
+  const void* w_v = nullptr;
+  const LhfIndPtr* ip() const {
+    return wrapped ? w_ip : (indptr.empty() ? nullptr : indptr.data());
   }
-  void assign(size_t n_, const LhfIndPtr* ip, const LhfInt* ind,
-              const void* v) {
+  const LhfInt* ind() const {
+    return wrapped ? w_ind : (indices.empty() ? nullptr : indices.data());
+  }
+  const void* v() const {
+    return wrapped ? w_v : (vals.empty() ? nullptr : (const void*)vals.data());
+  }
+  int64_t nnz() const {
+    const LhfIndPtr* p = ip();
+    return p ? (int64_t)p[n] : 0;
+  }
+  void assign(size_t n_, const LhfIndPtr* ipp, const LhfInt* ind_,
+              const void* v_) {
+    wrapped = false;
     n = (int64_t)n_;
-    if (ip) {
-      indptr.assign(ip, ip + n + 1);
+    if (ipp) {
+      indptr.assign(ipp, ipp + n + 1);
       const size_t nz = (size_t)indptr.back();
-      if (ind) indices.assign(ind, ind + nz);
-      if (v) {
-        const unsigned char* b = (const unsigned char*)v;
+      if (ind_) indices.assign(ind_, ind_ + nz);
+      if (v_) {
+        const unsigned char* b = (const unsigned char*)v_;
         vals.assign(b, b + nz * itemsize_of(dtype));
       }
     } else {
       indptr.assign(n + 1, 0);
     }
+  }
+  void wrap(size_t n_, const LhfIndPtr* ipp, const LhfInt* ind_,
+            const void* v_) {
+    wrapped = true;
+    n = (int64_t)n_;
+    w_ip = ipp;
+    w_ind = ind_;
+    w_v = v_;
+    indptr.clear();
+    indices.clear();
+    vals.clear();
   }
 };
 
@@ -205,12 +234,12 @@ int setup_impl(HifAny* h, const MatrixAny* A, const MatrixAny* S,
   auto addr = [](const void* p) { return (long long)(intptr_t)p; };
   return (int)call_i(
       "setup", "(LLLLLLLLLLLiiL)", h->handle,
-      (long long)(A ? A->n : 0), addr(A ? A->indptr.data() : nullptr),
-      addr(A ? A->indices.data() : nullptr),
-      addr(A ? A->vals.data() : nullptr), (long long)(A ? A->nnz() : 0),
-      (long long)(S ? S->n : 0), addr(S ? S->indptr.data() : nullptr),
-      addr(S ? S->indices.data() : nullptr),
-      addr(S ? S->vals.data() : nullptr), (long long)(S ? S->nnz() : 0),
+      (long long)(A ? A->n : 0), addr(A ? A->ip() : nullptr),
+      addr(A ? A->ind() : nullptr),
+      addr(A ? A->v() : nullptr), (long long)(A ? A->nnz() : 0),
+      (long long)(S ? S->n : 0), addr(S ? S->ip() : nullptr),
+      addr(S ? S->ind() : nullptr),
+      addr(S ? S->v() : nullptr), (long long)(S ? S->nnz() : 0),
       any->rowmajor, any->dtype, addr(params));
 }
 
@@ -218,8 +247,8 @@ int update_impl(HifAny* h, const MatrixAny* A) {
   if (!h || h->handle < 0 || !A) return LHF_NULL_OBJ;
   auto addr = [](const void* p) { return (long long)(intptr_t)p; };
   return (int)call_i("update", "(LLLLLLii)", h->handle, (long long)A->n,
-                     addr(A->indptr.data()), addr(A->indices.data()),
-                     addr(A->vals.data()), (long long)A->nnz(), A->rowmajor,
+                     addr(A->ip()), addr(A->ind()),
+                     addr(A->v()), (long long)A->nnz(), A->rowmajor,
                      A->dtype);
 }
 
@@ -231,6 +260,19 @@ int apply_impl(const HifAny* h, int op, const void* b, int nirs,
   return (int)call_i("apply", "(LiLLiLiLLi)", h->handle, op, addr(b),
                      (long long)h->n, nirs, addr(betas), rank, addr(x),
                      addr(ir_status), vec_dtype);
+}
+
+int solve_mrhs_impl(const HifAny* h, const void* B, int nrhs, void* X,
+                    int trans, int vec_dtype) {
+  // extension over the reference ABI (its prec_solve_mrhs is C++-only,
+  // ref prec_solve.hpp:428): B/X are nrhs consecutive length-n vectors
+  // (column-major n x nrhs)
+  if (!h || h->handle < 0) return LHF_NULL_OBJ;
+  if (!B || !X || nrhs <= 0) return LHF_MISMATCHED_SIZES;
+  auto addr = [](const void* p) { return (long long)(intptr_t)p; };
+  return (int)call_i("solve_mrhs", "(LLLiiiLi)", h->handle, (long long)h->n,
+                     addr(B), nrhs, trans, -2 /*LHF_DEFAULT_RANK*/, addr(X),
+                     vec_dtype);
 }
 
 int stats_impl(const HifAny* h, size_t stats[9]) {
@@ -286,6 +328,27 @@ LhfStatus lhfSetDefaultParams(double params[]) {
   return (LhfStatus)call_i("default_params", "(L)",
                            (long long)(intptr_t)params);
 }
+
+LhfStatus lhfSetDroptol(const double droptol, double params[]) {
+  if (!params) return LHF_NULL_OBJ;
+  params[LHF_DROPTOL_L] = params[LHF_DROPTOL_U] = droptol;
+  return LHF_SUCCESS;
+}
+
+LhfStatus lhfSetAlpha(const double alpha, double params[]) {
+  if (!params) return LHF_NULL_OBJ;
+  params[LHF_ALPHA_L] = params[LHF_ALPHA_U] = alpha;
+  return LHF_SUCCESS;
+}
+
+LhfStatus lhfSetKappa(const double kappa, double params[]) {
+  if (!params) return LHF_NULL_OBJ;
+  params[LHF_COND_D] = params[LHF_COND] = kappa;
+  return LHF_SUCCESS;
+}
+
+void lhfEnableWarning(void) { (void)call_i("set_warning", "(i)", 1); }
+void lhfDisableWarning(void) { (void)call_i("set_warning", "(i)", 0); }
 
 void lhfGetVersions(int versions[3]) {
   versions[0] = 0;
@@ -346,6 +409,15 @@ LhfStatus lhfQueryMmFile(const char* fname, int* is_sparse, int* is_real,
     return (Lhf##tag##MatrixHdl)make_matrix(code, is_rowmajor, n, indptr,     \
                                             indices, vals);                   \
   }                                                                           \
+  LhfStatus lhf##tag##WrapMatrix(Lhf##tag##MatrixHdl mat, const size_t n,    \
+                                 const LhfIndPtr* indptr,                     \
+                                 const LhfInt* indices, const ctype* vals) {  \
+    /* zero-copy borrow (ref lhf?WrapMatrix): Setup reads the arrays'       \
+       CURRENT contents at setup time */                                     \
+    if (!mat || !indptr) return LHF_NULL_OBJ;                                \
+    ((MatrixAny*)mat)->wrap(n, indptr, indices, vals);                       \
+    return LHF_SUCCESS;                                                      \
+  }                                                                           \
   LhfStatus lhf##tag##DestroyMatrix(Lhf##tag##MatrixHdl mat) {                \
     if (!mat) return LHF_NULL_OBJ;                                            \
     delete (MatrixAny*)mat;                                                   \
@@ -405,6 +477,11 @@ LhfStatus lhfQueryMmFile(const char* fname, int* is_sparse, int* is_real,
                             ctype* x) {                                       \
     return lhf##tag##Apply(hif, LHF_S, b, 1, nullptr, LHF_DEFAULT_RANK, x,    \
                            nullptr);                                          \
+  }                                                                           \
+  LhfStatus lhf##tag##SolveMrhs(const Lhf##tag##HifHdl hif, const ctype* B,   \
+                                int nrhs, ctype* X) {                         \
+    return (LhfStatus)solve_mrhs_impl((const HifAny*)hif, B, nrhs, X, 0,     \
+                                      code);                                 \
   }                                                                           \
   LhfStatus lhf##tag##GetStats(const Lhf##tag##HifHdl hif, size_t stats[9]) { \
     return (LhfStatus)stats_impl((const HifAny*)hif, stats);                  \

@@ -91,6 +91,15 @@ typedef struct LhfcHif* LhfcHifHdl;
 
 /* ---- library-wide ---- */
 LhfStatus lhfSetDefaultParams(double params[]);
+
+/* unified parameter helpers (ref libhifir.h:270-286) */
+LhfStatus lhfSetDroptol(const double droptol, double params[]);
+LhfStatus lhfSetAlpha(const double alpha, double params[]);
+LhfStatus lhfSetKappa(const double kappa, double params[]);
+
+/* toggle hifir_tpu warnings (ref libhifir.h:245-250) */
+void lhfEnableWarning(void);
+void lhfDisableWarning(void);
 void lhfGetVersions(int versions[3]);
 const char* lhfGetErrorMsg(void);
 /* Explicit interpreter lifecycle (optional: every entry point initializes
@@ -106,6 +115,9 @@ LhfStatus lhfQueryMmFile(const char* fname, int* is_sparse, int* is_real,
 LhfdMatrixHdl lhfdCreateMatrix(int is_rowmajor, size_t n,
                                const LhfIndPtr* indptr, const LhfInt* indices,
                                const double* vals);
+LhfStatus lhfdWrapMatrix(LhfdMatrixHdl mat, const size_t n,
+                        const LhfIndPtr* indptr, const LhfInt* indices,
+                        const double* vals);
 LhfStatus lhfdDestroyMatrix(LhfdMatrixHdl mat);
 size_t lhfdGetMatrixSize(const LhfdMatrixHdl mat);
 size_t lhfdGetMatrixNnz(const LhfdMatrixHdl mat);
@@ -124,6 +136,10 @@ LhfStatus lhfdApply(const LhfdHifHdl hif, LhfOperationType op,
                     const double* b, int nirs, const double* betas, int rank,
                     double* x, int* ir_status);
 LhfStatus lhfdSolve(const LhfdHifHdl hif, const double* b, double* x);
+/* extension over the reference ABI: batched multi-RHS M-solve; B and X are
+   nrhs consecutive length-n vectors (column-major n x nrhs) */
+LhfStatus lhfdSolveMrhs(const LhfdHifHdl hif, const double* B, int nrhs,
+                       double* X);
 LhfStatus lhfdGetStats(const LhfdHifHdl hif, size_t stats[9]);
 size_t lhfdGetNnz(const LhfdHifHdl hif);
 size_t lhfdGetLevels(const LhfdHifHdl hif);
@@ -134,6 +150,9 @@ size_t lhfdGetSchurRank(const LhfdHifHdl hif);
 LhfsMatrixHdl lhfsCreateMatrix(int is_rowmajor, size_t n,
                                const LhfIndPtr* indptr, const LhfInt* indices,
                                const float* vals);
+LhfStatus lhfsWrapMatrix(LhfsMatrixHdl mat, const size_t n,
+                        const LhfIndPtr* indptr, const LhfInt* indices,
+                        const float* vals);
 LhfStatus lhfsDestroyMatrix(LhfsMatrixHdl mat);
 size_t lhfsGetMatrixSize(const LhfsMatrixHdl mat);
 size_t lhfsGetMatrixNnz(const LhfsMatrixHdl mat);
@@ -152,6 +171,10 @@ LhfStatus lhfsApply(const LhfsHifHdl hif, LhfOperationType op, const float* b,
                     int nirs, const double* betas, int rank, float* x,
                     int* ir_status);
 LhfStatus lhfsSolve(const LhfsHifHdl hif, const float* b, float* x);
+/* extension over the reference ABI: batched multi-RHS M-solve; B and X are
+   nrhs consecutive length-n vectors (column-major n x nrhs) */
+LhfStatus lhfsSolveMrhs(const LhfsHifHdl hif, const float* B, int nrhs,
+                       float* X);
 LhfStatus lhfsGetStats(const LhfsHifHdl hif, size_t stats[9]);
 size_t lhfsGetNnz(const LhfsHifHdl hif);
 size_t lhfsGetLevels(const LhfsHifHdl hif);
@@ -162,6 +185,9 @@ size_t lhfsGetSchurRank(const LhfsHifHdl hif);
 LhfzMatrixHdl lhfzCreateMatrix(int is_rowmajor, size_t n,
                                const LhfIndPtr* indptr, const LhfInt* indices,
                                const double* vals);
+LhfStatus lhfzWrapMatrix(LhfzMatrixHdl mat, const size_t n,
+                        const LhfIndPtr* indptr, const LhfInt* indices,
+                        const double* vals);
 LhfStatus lhfzDestroyMatrix(LhfzMatrixHdl mat);
 size_t lhfzGetMatrixSize(const LhfzMatrixHdl mat);
 size_t lhfzGetMatrixNnz(const LhfzMatrixHdl mat);
@@ -180,6 +206,10 @@ LhfStatus lhfzApply(const LhfzHifHdl hif, LhfOperationType op,
                     const double* b, int nirs, const double* betas, int rank,
                     double* x, int* ir_status);
 LhfStatus lhfzSolve(const LhfzHifHdl hif, const double* b, double* x);
+/* extension over the reference ABI: batched multi-RHS M-solve; B and X are
+   nrhs consecutive length-n vectors (column-major n x nrhs) */
+LhfStatus lhfzSolveMrhs(const LhfzHifHdl hif, const double* B, int nrhs,
+                       double* X);
 LhfStatus lhfzGetStats(const LhfzHifHdl hif, size_t stats[9]);
 size_t lhfzGetNnz(const LhfzHifHdl hif);
 size_t lhfzGetLevels(const LhfzHifHdl hif);
@@ -190,6 +220,9 @@ size_t lhfzGetSchurRank(const LhfzHifHdl hif);
 LhfcMatrixHdl lhfcCreateMatrix(int is_rowmajor, size_t n,
                                const LhfIndPtr* indptr, const LhfInt* indices,
                                const float* vals);
+LhfStatus lhfcWrapMatrix(LhfcMatrixHdl mat, const size_t n,
+                        const LhfIndPtr* indptr, const LhfInt* indices,
+                        const float* vals);
 LhfStatus lhfcDestroyMatrix(LhfcMatrixHdl mat);
 size_t lhfcGetMatrixSize(const LhfcMatrixHdl mat);
 size_t lhfcGetMatrixNnz(const LhfcMatrixHdl mat);
@@ -208,6 +241,10 @@ LhfStatus lhfcApply(const LhfcHifHdl hif, LhfOperationType op, const float* b,
                     int nirs, const double* betas, int rank, float* x,
                     int* ir_status);
 LhfStatus lhfcSolve(const LhfcHifHdl hif, const float* b, float* x);
+/* extension over the reference ABI: batched multi-RHS M-solve; B and X are
+   nrhs consecutive length-n vectors (column-major n x nrhs) */
+LhfStatus lhfcSolveMrhs(const LhfcHifHdl hif, const float* B, int nrhs,
+                       float* X);
 LhfStatus lhfcGetStats(const LhfcHifHdl hif, size_t stats[9]);
 size_t lhfcGetNnz(const LhfcHifHdl hif);
 size_t lhfcGetLevels(const LhfcHifHdl hif);

@@ -29,6 +29,7 @@ __all__ = [
     "hif_error",
     "hif_assert",
     "verbose_enabled",
+    "enable_warnings",
 ]
 
 
@@ -65,8 +66,21 @@ def hif_info(opts_or_verbose, msg: str, *args, tag: str = "info") -> None:
         print(msg % args if args else msg, file=sys.stdout, flush=True)
 
 
+_warnings_enabled = True
+
+
+def enable_warnings(on: bool) -> None:
+    """Global warning toggle (ref ``lhfEnableWarning``/``lhfDisableWarning``,
+    libhifir.h:245-250)."""
+    global _warnings_enabled
+    _warnings_enabled = bool(on)
+
+
 def hif_warning(msg: str, *args) -> None:
-    """Print a warning (always shown; ref ``hif_warning``)."""
+    """Print a warning (shown unless disabled via :func:`enable_warnings`;
+    ref ``hif_warning``)."""
+    if not _warnings_enabled:
+        return
     print("\033[33mWARNING!\033[0m " + (msg % args if args else msg),
           file=sys.stderr, flush=True)
 

@@ -99,6 +99,62 @@ int main(void) {
   matvec(indptr, indices, vals, x, y, 0);
   check("solve residual", rel_diff(y, b) < 1e-6);
 
+  /* lhfdSolveMrhs (extension): two RHS solved in one batched sweep must
+     match two single-RHS solves */
+  {
+    static double B2[2 * N], X2[2 * N], x1[N];
+    for (i = 0; i < N; ++i) {
+      B2[i] = b[i];              /* column 0 = b   */
+      B2[N + i] = 2.0 * b[i];    /* column 1 = 2 b */
+    }
+    check("lhfdSolveMrhs", lhfdSolveMrhs(M, B2, 2, X2) == LHF_SUCCESS);
+    check("mrhs col0 == solve", 1);
+    lhfdSolve(M, b, x1);
+    {
+      double num = 0.0, den = 1e-300;
+      for (i = 0; i < N; ++i) {
+        num += (X2[i] - x1[i]) * (X2[i] - x1[i]);
+        den += x1[i] * x1[i];
+        num += (X2[N + i] - 2.0 * x1[i]) * (X2[N + i] - 2.0 * x1[i]);
+        den += 4.0 * x1[i] * x1[i];
+      }
+      check("mrhs columns match single-RHS", sqrt(num / den) < 1e-10);
+    }
+  }
+
+  /* unified param helpers + warning toggles (ref libhifir.h:245-286) */
+  {
+    double p2[32];
+    check("lhfSetDefaultParams", lhfSetDefaultParams(p2) == LHF_SUCCESS);
+    check("lhfSetDroptol", lhfSetDroptol(1e-3, p2) == LHF_SUCCESS &&
+                               p2[LHF_DROPTOL_L] == 1e-3 &&
+                               p2[LHF_DROPTOL_U] == 1e-3);
+    check("lhfSetAlpha", lhfSetAlpha(7.0, p2) == LHF_SUCCESS &&
+                             p2[LHF_ALPHA_L] == 7.0 && p2[LHF_ALPHA_U] == 7.0);
+    check("lhfSetKappa", lhfSetKappa(4.0, p2) == LHF_SUCCESS &&
+                             p2[LHF_COND_D] == 4.0 && p2[LHF_COND] == 4.0);
+    lhfDisableWarning();
+    lhfEnableWarning();
+  }
+
+  /* lhfdWrapMatrix: zero-copy borrow; Setup reads the CURRENT contents */
+  {
+    LhfdMatrixHdl W = lhfdCreateMatrix(1, 0, NULL, NULL, NULL);
+    static double x2[N];
+    check("lhfdWrapMatrix",
+          lhfdWrapMatrix(W, N, indptr, indices, vals) == LHF_SUCCESS);
+    check("wrap nnz", lhfdGetMatrixNnz(W) == (size_t)indptr[N]);
+    {
+      LhfdHifHdl M2 = lhfdCreate(NULL, W, params);
+      check("wrap setup+solve", M2 != NULL && lhfdGetLevels(M2) >= 1 &&
+                                    lhfdSolve(M2, b, x2) == LHF_SUCCESS);
+      matvec(indptr, indices, vals, x2, y, 0);
+      check("wrap solve residual", rel_diff(y, b) < 1e-6);
+      check("wrap destroy", lhfdDestroy(M2) == LHF_SUCCESS);
+    }
+    check("lhfdDestroyMatrix(wrap)", lhfdDestroyMatrix(W) == LHF_SUCCESS);
+  }
+
   /* mode LHF_SH: A^T x ~= b */
   check("lhfdApply(SH)",
         lhfdApply(M, LHF_SH, b, 1, NULL, LHF_DEFAULT_RANK, x, NULL) ==
