@@ -59,10 +59,60 @@ class DenseTail:
         return cls(*children, *aux)
 
 
-def tail_solve(tail, y, trans=False):
-    """Truncated-rank dense backsolve (ref ``QRCP.hpp:211`` / ``SYEIG``)."""
+def _mask1(y, mask):
+    """Broadcast a (nm,) bool mask over (nm,) or (nm, k) operands."""
+    return mask if y.ndim == 1 else mask[:, None]
+
+
+def tail_solve_rank(tail, y, r, trans=False):
+    """Truncated-rank dense backsolve with a RUNTIME rank ``r`` (traced
+    int32), the device analog of the reference's per-solve rank override
+    (``HIF::solve(b, x, trans, rank)`` -> ``QRCP.hpp:211`` truncated
+    backsolve, builder.hpp:410-424).  Static shapes throughout: the
+    truncation is a mask, so one compilation serves every rank.  LUP has no
+    rank truncation in the reference either; ``r`` is ignored there."""
     if tail is None:
         return y
+    if tail.kind == "lup":
+        return tail_solve(tail, y, trans=trans)
+    nm = tail.Q.shape[0]
+    mask = jnp.arange(nm) < r
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    if tail.kind == "syeig":
+        coeff = mm(tail.Q.T.conj(), y)
+        safe_w = jnp.where(mask, tail.w, jnp.ones_like(tail.w))
+        coeff = jnp.where(_mask1(coeff, mask),
+                          coeff / _wcol(safe_w, coeff), 0)
+        return mm(tail.Q, coeff)
+    # qrcp: solve on a masked R whose trailing diagonal is identity, so the
+    # triangular solve stays full-size (static shape) while rows/cols >= r
+    # contribute exact zeros
+    Rm = jnp.where(mask[:, None] & mask[None, :], tail.R,
+                   jnp.diag(jnp.where(mask, 0.0, 1.0)).astype(tail.R.dtype))
+    if not trans:
+        wv = mm(tail.Q.T.conj(), y)
+        wv = jnp.where(_mask1(wv, mask), wv, 0)
+        z = jax.scipy.linalg.solve_triangular(Rm, wv, lower=False)
+        z = jnp.where(_mask1(z, mask), z, 0)
+        return jnp.zeros_like(y).at[tail.jpvt].set(z, unique_indices=True)
+    wv = y[tail.jpvt]
+    wv = jnp.where(_mask1(wv, mask), wv, 0)
+    z = jax.scipy.linalg.solve_triangular(Rm, wv, lower=False, trans=2)
+    z = jnp.where(_mask1(z, mask), z, 0)
+    return mm(tail.Q, z)
+
+
+def _wcol(w, like):
+    return w if like.ndim == 1 else w[:, None]
+
+
+def tail_solve(tail, y, trans=False, r=None):
+    """Truncated-rank dense backsolve (ref ``QRCP.hpp:211`` / ``SYEIG``).
+    ``r`` (optional, traced) overrides the static pack-time rank."""
+    if tail is None:
+        return y
+    if r is not None:
+        return tail_solve_rank(tail, y, r, trans=trans)
     r = tail.rank
     if r == 0:
         return jnp.zeros_like(y)
@@ -161,7 +211,7 @@ def _ldu_solve(lvl, y):
     return trsv_apply(lvl.U, y)
 
 
-def prec_solve_device(levels, tail, b):
+def prec_solve_device(levels, tail, b, r=None):
     """Unrolled multilevel solve (ref prec_solve.hpp:333) - pure jittable."""
     wbs = []
     rhs = b
@@ -172,7 +222,7 @@ def prec_solve_device(levels, tail, b):
         y2 = wb[m:] - ell_matvec(lvl.E, x1)
         wbs.append(wb)
         rhs = y2
-    x_tail = tail_solve(tail, rhs)
+    x_tail = tail_solve(tail, rhs, r=r)
     for lvl, wb in zip(reversed(levels), reversed(wbs)):
         m = lvl.m
         if lvl.n - m:
@@ -190,7 +240,7 @@ def _ldu_solve_tran(lvl, top, y):
     return trsv_apply(top.LT, y)     # L^H: unit strict upper
 
 
-def prec_solve_tran_device(levels, tops, tail, b):
+def prec_solve_tran_device(levels, tops, tail, b, r=None):
     """Adjoint multilevel solve (ref prec_solve_tran, prec_solve.hpp:542):
     mirrors the forward recursion with E/F swapped and factors conjugated."""
     wbs = []
@@ -202,7 +252,7 @@ def prec_solve_tran_device(levels, tops, tail, b):
         y2 = wb[m:] - ell_matvec(top.FT, x1)
         wbs.append(wb)
         rhs = y2
-    x_tail = tail_solve(tail, rhs, trans=True)
+    x_tail = tail_solve(tail, rhs, trans=True, r=r)
     for lvl, top, wb in zip(reversed(levels), reversed(tops), reversed(wbs)):
         m = lvl.m
         if lvl.n - m:
@@ -223,6 +273,38 @@ def _solve_pure(levels, tail, b):
 
 def _solve_tran_pure(levels, tops, tail, b):
     return prec_solve_tran_device(levels, tops, tail, b)
+
+
+def _solve_rank_pure(levels, tail, b, r):
+    return prec_solve_device(levels, tail, b, r=r)
+
+
+def _solve_tran_rank_pure(levels, tops, tail, b, r):
+    return prec_solve_tran_device(levels, tops, tail, b, r=r)
+
+
+def _solve_mrhs_rank_pure(levels, tail, B, r):
+    return prec_solve_mrhs_device(levels, tail, B, r=r)
+
+
+def _solve_tran_mrhs_rank_pure(levels, tops, tail, B, r):
+    return prec_solve_tran_mrhs_device(levels, tops, tail, B, r=r)
+
+
+def nsp_filter_device(nsp, x):
+    """Apply a null-space filter to a device solution (the reference applies
+    nsp after every solve, builder.hpp:419-422).  Constant mode is pure jnp;
+    a user callback receives (and must return) a jax array."""
+    if nsp is None:
+        return x
+    if getattr(nsp, "user_func", None) is not None:
+        return nsp.user_func(x)
+    end = x.shape[0] if nsp.end < 0 else nsp.end
+    seg = x[nsp.start:end]
+    mean = seg.mean(axis=0, keepdims=(x.ndim > 1))
+    if x.ndim == 1:
+        return x.at[nsp.start:end].set(seg - mean)
+    return x.at[nsp.start:end].set(seg - mean)
 
 
 @dataclasses.dataclass
@@ -325,14 +407,34 @@ class DevicePrec:
         self._tran = tops
 
     # -- public API ----------------------------------------------------------
-    def solve(self, b, trans: bool = False):
-        """x = M^{-1} b on device (jitted)."""
+    def solve(self, b, trans: bool = False, r: int = 0):
+        """x = M^{-1} b on device (jitted).
+
+        ``r > 0`` overrides the dense tail's truncation rank at solve time
+        (the reference's ``HIF::solve(b, x, trans, rank)`` per-solve rank,
+        builder.hpp:410-424) — passed as a traced argument, so every rank
+        shares one compilation.  An attached ``self.nsp``/``self.nsp_tran``
+        filter is applied to the output (ref builder.hpp:419-422)."""
         b = jnp.asarray(b)
         if trans:
             if self._tran is None:
                 raise RuntimeError("call pack_transpose() before trans solves")
-            return self._solve_tran_jit(self.levels, self._tran, self.tail, b)
-        return self._solve_jit(self.levels, self.tail, b)
+            if r and r > 0:
+                if not hasattr(self, "_solve_tran_rank_jit"):
+                    self._solve_tran_rank_jit = jax.jit(_solve_tran_rank_pure)
+                x = self._solve_tran_rank_jit(self.levels, self._tran,
+                                              self.tail, b, jnp.int32(r))
+            else:
+                x = self._solve_tran_jit(self.levels, self._tran, self.tail,
+                                         b)
+            return nsp_filter_device(getattr(self, "nsp_tran", None), x)
+        if r and r > 0:
+            if not hasattr(self, "_solve_rank_jit"):
+                self._solve_rank_jit = jax.jit(_solve_rank_pure)
+            x = self._solve_rank_jit(self.levels, self.tail, b, jnp.int32(r))
+        else:
+            x = self._solve_jit(self.levels, self.tail, b)
+        return nsp_filter_device(getattr(self, "nsp", None), x)
 
     def pack_prod(self, host_precs, dtype=None) -> None:
         """Build forward-product operands (L_B/U_B as ELL)."""
@@ -376,18 +478,31 @@ class DevicePrec:
         return self._prod_jit(self.levels, self._prod, self.tail,
                               jnp.asarray(x))
 
-    def solve_mrhs(self, B, trans: bool = False):
+    def solve_mrhs(self, B, trans: bool = False, r: int = 0):
         """X = M^{-1} B (or M^{-H} B) for B of shape (n, nrhs) — the batched
-        fast path."""
+        fast path.  ``r > 0`` overrides the tail rank (traced; one compile
+        serves all ranks)."""
         if trans:
             if self._tran is None:
                 raise RuntimeError("call pack_transpose() before trans "
                                    "solves")
+            if r and r > 0:
+                if not hasattr(self, "_solve_tran_mrhs_rank_jit"):
+                    self._solve_tran_mrhs_rank_jit = jax.jit(
+                        _solve_tran_mrhs_rank_pure)
+                return self._solve_tran_mrhs_rank_jit(
+                    self.levels, self._tran, self.tail, jnp.asarray(B),
+                    jnp.int32(r))
             if not hasattr(self, "_solve_tran_mrhs_jit"):
                 self._solve_tran_mrhs_jit = jax.jit(
                     prec_solve_tran_mrhs_device)
             return self._solve_tran_mrhs_jit(self.levels, self._tran,
                                              self.tail, jnp.asarray(B))
+        if r and r > 0:
+            if not hasattr(self, "_solve_mrhs_rank_jit"):
+                self._solve_mrhs_rank_jit = jax.jit(_solve_mrhs_rank_pure)
+            return self._solve_mrhs_rank_jit(self.levels, self.tail,
+                                             jnp.asarray(B), jnp.int32(r))
         if not hasattr(self, "_solve_mrhs_jit"):
             self._solve_mrhs_jit = jax.jit(prec_solve_mrhs_device)
         return self._solve_mrhs_jit(self.levels, self.tail, jnp.asarray(B))
@@ -406,7 +521,7 @@ def _ldu_solve_mrhs(lvl, Y):
     return trsv_apply_mrhs(lvl.U, Y)
 
 
-def prec_solve_mrhs_device(levels, tail, B):
+def prec_solve_mrhs_device(levels, tail, B, r=None):
     """Multilevel solve with multiple RHS, B of shape (n, nrhs)
     (ref ``prec_solve_mrhs``, prec_solve.hpp:428 — the reference is limited to
     small compile-time Nrhs; here the batch amortizes gather and loop
@@ -424,6 +539,8 @@ def prec_solve_mrhs_device(levels, tail, B):
         rhs = y2
     if tail is None:
         x_tail = rhs
+    elif r is not None:
+        x_tail = tail_solve_rank(tail, rhs, r)
     elif tail.rank == 0:
         x_tail = jnp.zeros_like(rhs)
     else:
@@ -474,7 +591,7 @@ def _ldu_solve_tran_mrhs(lvl, top, Y):
     return trsv_apply_mrhs(top.LT, Y)
 
 
-def prec_solve_tran_mrhs_device(levels, tops, tail, B):
+def prec_solve_tran_mrhs_device(levels, tops, tail, B, r=None):
     """Adjoint multilevel solve with multiple RHS (the mrhs counterpart of
     :func:`prec_solve_tran_device`; the reference composes
     ``prec_solve_mrhs`` with transposition in the bindings,
@@ -492,6 +609,8 @@ def prec_solve_tran_mrhs_device(levels, tops, tail, B):
         rhs = y2
     if tail is None:
         x_tail = rhs
+    elif r is not None:
+        x_tail = tail_solve_rank(tail, rhs, r, trans=True)
     elif tail.rank == 0:
         x_tail = jnp.zeros_like(rhs)
     else:

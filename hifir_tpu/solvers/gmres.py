@@ -24,22 +24,25 @@ __all__ = ["gmres_hif_device", "fgmres_hifir_device", "ir_apply_device",
            "gmres_mrhs_device"]
 
 
-def ir_apply_device(A, levels, tail, b, nirs: int) -> jax.Array:
+def ir_apply_device(A, levels, tail, b, nirs: int, r=None) -> jax.Array:
     """x = HIFIR(b): nirs steps of x += M^{-1}(b - A x)
-    (ref ``alg/IterRefine.hpp:78-105``)."""
-    x0 = prec_solve_device(levels, tail, b)
+    (ref ``alg/IterRefine.hpp:78-105``).  ``r`` (traced) overrides the dense
+    tail's truncation rank (the reference FGMRES's per-iteration ``rr``
+    control, examples/advanced/gmres.hpp:127-231)."""
+    x0 = prec_solve_device(levels, tail, b, r=r)
     if nirs <= 1:
         return x0
 
     def body(_, x):
-        return x + prec_solve_device(levels, tail, b - ell_matvec(A, x))
+        return x + prec_solve_device(levels, tail, b - ell_matvec(A, x),
+                                     r=r)
 
     return jax.lax.fori_loop(1, nirs, body, x0)
 
 
 @functools.partial(jax.jit, static_argnames=("restart", "nirs"))
 def _restart_cycle(A, levels, tail, b, x, rtol_bnrm, restart: int,
-                   nirs: int = 1):
+                   nirs: int = 1, r=None):
     """One FGMRES(m) restart cycle (fully jitted, static shapes).
 
     Returns (x_new, |residual| estimate, iters_done).
@@ -48,8 +51,10 @@ def _restart_cycle(A, levels, tail, b, x, rtol_bnrm, restart: int,
     dtype = b.dtype
     m = restart
 
+    rank_r = r  # keep the rank override out of the residual local's way
+
     def msolve(v):
-        return ir_apply_device(A, levels, tail, v, nirs)
+        return ir_apply_device(A, levels, tail, v, nirs, r=rank_r)
 
     r = b - ell_matvec(A, x)
     beta = jnp.linalg.norm(r)
@@ -143,7 +148,8 @@ def gmres_hif_device(A, prec, b, restart: int = 30, rtol: float = 1e-6,
 
 
 def fgmres_hifir_device(A, prec, b, restart: int = 30, rtol: float = 1e-6,
-                        maxit: int = 500, x0=None, max_inner: int = 4
+                        maxit: int = 500, x0=None, max_inner: int = 4,
+                        rank: int = 0
                         ) -> Tuple[jax.Array, int, int]:
     """Flexible GMRES with inner iterative refinement (HIFIR).
 
@@ -162,8 +168,9 @@ def fgmres_hifir_device(A, prec, b, restart: int = 30, rtol: float = 1e-6,
     outer = 0
     while it < maxit:
         nirs = 1 << min(outer, max_inner)
+        rr = jnp.int32(rank) if rank and rank > 0 else None
         x, res, j_used = _restart_cycle(A, levels, tail, b, x,
-                                        rtol * bnrm, restart, nirs)
+                                        rtol * bnrm, restart, nirs, r=rr)
         it += int(j_used)
         outer += 1
         if float(res) <= rtol * bnrm:
