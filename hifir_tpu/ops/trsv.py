@@ -356,6 +356,19 @@ def build_trsv_schedule(T, lower: bool, chunk: int = 256, dtype=None,
                         n, nchunks, chunk, nlev)
 
 
+def _scan_unroll(sched: TrsvSchedule) -> int:
+    """Scan unroll factor: each chunk step pays a ~60us loop-iteration
+    latency on the TPU; unrolling fuses several chunks into one iteration
+    (dependencies stay correct — unroll preserves sequential body order).
+    Experiment knob HT_TRSV_UNROLL overrides."""
+    import os
+
+    env = os.environ.get("HT_TRSV_UNROLL")
+    if env:
+        return max(1, int(env))
+    return 1
+
+
 def trsv_apply(sched: TrsvSchedule, b: jax.Array) -> jax.Array:
     """Solve (I + strict(T)) x = b on device via the chunked level scan."""
     if sched.nchunks == 0:
@@ -374,7 +387,8 @@ def trsv_apply(sched: TrsvSchedule, b: jax.Array) -> jax.Array:
         x = jax.lax.dynamic_update_slice(x, cur - contrib, (c,))
         return (x, c + C), None
 
-    (x, _), _ = jax.lax.scan(body, (x, 0), (sched.cols, sched.vals))
+    (x, _), _ = jax.lax.scan(body, (x, 0), (sched.cols, sched.vals),
+                             unroll=_scan_unroll(sched))
     return x[sched.out_slots]
 
 
@@ -397,5 +411,6 @@ def trsv_apply_mrhs(sched: TrsvSchedule, B: jax.Array) -> jax.Array:
         x = jax.lax.dynamic_update_slice(x, cur - contrib, (c, 0))
         return (x, c + C), None
 
-    (x, _), _ = jax.lax.scan(body, (x, 0), (sched.cols, sched.vals))
+    (x, _), _ = jax.lax.scan(body, (x, 0), (sched.cols, sched.vals),
+                             unroll=_scan_unroll(sched))
     return x[sched.out_slots]

@@ -20,9 +20,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "P", "Mesh", "NamedSharding"]
 
 
-def make_mesh(n_devices: Optional[int] = None, rhs: int = 1) -> Mesh:
-    """Create a ``(rhs, rows)`` mesh over the first ``n_devices`` devices."""
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, rhs: int = 1,
+              local: bool = False) -> Mesh:
+    """Create a ``(rhs, rows)`` mesh over the first ``n_devices`` devices.
+
+    ``local=True`` restricts to this process's devices — the
+    RAS-over-DistPrec composition (BASELINE config 5) runs each process's
+    part solves distributed over its OWN chips while the cross-process
+    coupling stays additive-Schwarz."""
+    devs = jax.local_devices() if local else jax.devices()
     n = len(devs) if n_devices is None else n_devices
     if n % rhs:
         raise ValueError(f"n_devices={n} not divisible by rhs={rhs}")

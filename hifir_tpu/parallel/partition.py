@@ -75,6 +75,8 @@ class _Part:
     lo_ext: int        # overlapped (factorized) range
     hi_ext: int
     M: object          # local HIF
+    M_dist: object = None  # optional DistPrec over this process's devices
+                           # (RAS-over-DistPrec, attach_dist_solvers)
 
 
 class PartitionedHIF:
@@ -233,6 +235,28 @@ class PartitionedHIF:
             out += self._coarse_w[j] * xc[self._part_of * q + j]
         return out
 
+    def attach_dist_solvers(self, mesh=None, dtype=None, chunk=256,
+                            max_halo_chunks: int = 128) -> None:
+        """Attach a mesh-distributed M-solve (:class:`.prec_sharded.DistPrec`)
+        to every OWNED part — the BASELINE config-5 composition: the
+        cross-process coupling is restricted additive Schwarz
+        (:meth:`local_contrib` shares summed under ``jax.distributed``)
+        while each part's multilevel M-solve runs distributed over this
+        process's own device mesh.  ``mesh=None`` builds a local
+        ``(1, n_local_devices)`` mesh.  Forward solves use the distributed
+        path; transpose solves keep the host path (DistPrec is
+        forward-only)."""
+        from .mesh import make_mesh
+        from .prec_sharded import DistPrec
+
+        if mesh is None:
+            mesh = make_mesh(local=True)
+        for p in self.parts:
+            if p.M is not None:
+                p.M_dist = DistPrec.from_host(mesh, p.M, dtype=dtype,
+                                              chunk=chunk,
+                                              max_halo_chunks=max_halo_chunks)
+
     def local_contrib(self, b: np.ndarray, trans: bool = False) -> np.ndarray:
         """This process's additive share of the RAS apply, in ORIGINAL (not
         banded) index order: the local solves of the parts this process owns
@@ -252,7 +276,10 @@ class PartitionedHIF:
                 be[p.lo - p.lo_ext:p.hi - p.lo_ext] = bp[p.lo:p.hi]
                 xp[p.lo_ext:p.hi_ext] += p.M.solve(be, trans=True)
             else:
-                xe = p.M.solve(bp[p.lo_ext:p.hi_ext], trans=False)
+                if p.M_dist is not None:
+                    xe = np.asarray(p.M_dist.solve(bp[p.lo_ext:p.hi_ext]))
+                else:
+                    xe = p.M.solve(bp[p.lo_ext:p.hi_ext], trans=False)
                 xp[p.lo:p.hi] = xe[p.lo - p.lo_ext:p.hi - p.lo_ext]
         if own0 and self._coarse_lu is not None:
             xp += self._coarse_apply(bp, trans)

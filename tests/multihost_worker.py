@@ -53,7 +53,19 @@ assert owned == [k for k in range(NPARTS) if k % nproc == pid], owned
 
 rng = np.random.default_rng(7)
 b = rng.standard_normal(A.nrows)
+share_host = P.local_contrib(b)
+
+# --- config-5 composition: RAS across processes x DistPrec within each
+# process's LOCAL device mesh (the distributed M-solve executes across this
+# process's 4 virtual devices under the multi-process jax.distributed
+# runtime); the share must equal the host-path share to solver precision ---
+P.attach_dist_solvers()
+assert all(p.M_dist is not None for p in P.parts if p.M is not None)
 share = P.local_contrib(b)
+dist_err = float(np.abs(share - share_host).max()
+                 / max(np.abs(share_host).max(), 1e-300))
+assert dist_err < 1e-12, dist_err
+print(f"rank {pid}: DistPrec share err vs host {dist_err:.2e}", flush=True)
 
 how = "psum"
 try:
@@ -85,6 +97,7 @@ if pid == 0:
     err = float(np.abs(total - ref).max() / np.abs(ref).max())
     assert err < 1e-12, err
     print(f"MULTIHOST_OK processes={nproc} devices={ndev_global} "
-          f"parts={NPARTS} sum={how} err={err:.2e}", flush=True)
+          f"parts={NPARTS} sum={how} dist_solve=on err={err:.2e}",
+          flush=True)
 else:
     print(f"MULTIHOST_OK rank={pid} sum={how}", flush=True)
