@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.spmv import SlicedELL, ell_matvec, sliced_ell_from_csr
-from ..ops.trsv import TrsvSchedule, build_trsv_schedule, trsv_apply
+from ..ops.trsv import (TrsvDense, TrsvSchedule, build_trsv_dense,
+                        build_trsv_schedule, trsv_apply)
 
 __all__ = ["DeviceLevel", "DenseTail", "DevicePrec", "tail_solve",
            "prec_solve_device", "prec_solve_tran_device",
@@ -318,16 +319,32 @@ class DevicePrec:
     # -- construction -------------------------------------------------------
     @classmethod
     def from_host(cls, precs, dtype=None, chunk="auto",
-                  tail_on_device: bool = False, k_cap="auto") -> "DevicePrec":
+                  tail_on_device: bool = False, k_cap="auto",
+                  dense_inv="auto") -> "DevicePrec":
         """``tail_on_device`` refactorizes the dense tail with the jitted
         device QRCP (small_scale/qrcp_device.py) instead of reusing the host
         LAPACK factors — the fully LAPACK-free mode.
 
         ``dtype=None`` preserves the host precision, including complex128
-        (the reference treats z/c as first-class, libhifir.h)."""
+        (the reference treats z/c as first-class, libhifir.h).
+
+        ``dense_inv``: levels with m <= this threshold apply L/U via an
+        explicit dense inverse on the MXU (:class:`ops.trsv.TrsvDense`) —
+        one matmul instead of a deep latency-bound chunk scan (the frozen
+        bench operator's 1.9k-row level carried 264 chunk latencies).
+        "auto" = 2048 (host inversion stays sub-second); 0 disables."""
+        if dense_inv == "auto":
+            dense_inv = 2048
         if dtype is None:
             dtype = next((np.asarray(p.d).dtype for p in precs if p.m),
                          np.float64)
+
+        def _ldu(T, lower):
+            if 0 < T.nrows <= int(dense_inv):
+                return build_trsv_dense(T, lower=lower, dtype=dtype)
+            return build_trsv_schedule(T, lower=lower, chunk=chunk,
+                                       dtype=dtype, k_cap=k_cap)
+
         levels = []
         for prec in precs:
             m, n = prec.m, prec.n
@@ -337,10 +354,8 @@ class DevicePrec:
                 s_p=jnp.asarray(prec.s[prec.p], dtype=dtype),
                 t=jnp.asarray(prec.t, dtype=dtype),
                 d=jnp.asarray(prec.d, dtype=dtype),
-                L=build_trsv_schedule(prec.L_B, lower=True, chunk=chunk,
-                                      dtype=dtype, k_cap=k_cap),
-                U=build_trsv_schedule(prec.U_B, lower=False, chunk=chunk,
-                                      dtype=dtype, k_cap=k_cap),
+                L=_ldu(prec.L_B, lower=True),
+                U=_ldu(prec.U_B, lower=False),
                 E=sliced_ell_from_csr(prec.E, dtype=dtype),
                 F=sliced_ell_from_csr(prec.F, dtype=dtype),
                 m=m, n=n))
@@ -384,9 +399,21 @@ class DevicePrec:
         obj._solve_tran_jit = jax.jit(_solve_tran_pure)
         return obj
 
-    def pack_transpose(self, host_precs, dtype=None, chunk="auto") -> None:
+    def pack_transpose(self, host_precs, dtype=None, chunk="auto",
+                       dense_inv="auto") -> None:
         """Build transpose operands (U^H/L^H schedules, E^H/F^H ELL);
-        ``dtype=None`` preserves the host precision (incl. complex)."""
+        ``dtype=None`` preserves the host precision (incl. complex).
+        ``dense_inv`` mirrors :meth:`from_host` (explicit MXU inverse for
+        small levels)."""
+        if dense_inv == "auto":
+            dense_inv = 2048
+
+        def _ldu_t(T, lower):
+            if 0 < T.nrows <= int(dense_inv):
+                return build_trsv_dense(T, lower=lower, dtype=dtype)
+            return build_trsv_schedule(T, lower=lower, chunk=chunk,
+                                       dtype=dtype, k_cap="auto")
+
         tops = []
         for lvl, hp in zip(self.levels, host_precs):
             UT_host = hp.U_B.transpose()
@@ -397,10 +424,8 @@ class DevicePrec:
                 if np.iscomplexobj(M.data):
                     M.data = np.conj(M.data)
             tops.append(TranLevel(
-                LT=build_trsv_schedule(LT_host, lower=False, chunk=chunk,
-                                       dtype=dtype, k_cap="auto"),
-                UT=build_trsv_schedule(UT_host, lower=True, chunk=chunk,
-                                       dtype=dtype, k_cap="auto"),
+                LT=_ldu_t(LT_host, lower=False),
+                UT=_ldu_t(UT_host, lower=True),
                 ET=sliced_ell_from_csr(ET_host, dtype=dtype),
                 FT=sliced_ell_from_csr(FT_host, dtype=dtype),
                 q=jnp.asarray(hp.q, dtype=jnp.int32)))
