@@ -132,15 +132,46 @@ def main():
             Xf = dpf.solve_mrhs(Bf)
             float(jnp.sum(Xf))
             times.append(time.time() - t0)
-        frozen_ms_per_rhs = min(times) / NRHS * 1e3
-        frozen_thr = nnz_f / (min(times) / NRHS)
+        frozen_e2e_ms_per_rhs = min(times) / NRHS * 1e3
         relf = (np.abs(np.asarray(Xf[:, 0], np.float64)
                        - Mf.solve(np.asarray(Bf[:, 0], np.float64))).max()
                 / max(np.abs(Mf.solve(np.asarray(Bf[:, 0],
                                                  np.float64))).max(), 1e-300))
-        log(f"FROZEN-operator M-solve (n={nf}, nnz(M)={nnz_f}, mrhs={NRHS}): "
-            f"{frozen_ms_per_rhs:.4f} ms/RHS ({frozen_thr/1e6:.1f} "
-            f"Mnnz/s/RHS), device-vs-host rel diff {relf:.2e}")
+        log(f"FROZEN-operator M-solve end-to-end (n={nf}, nnz(M)={nnz_f}, "
+            f"mrhs={NRHS}): {frozen_e2e_ms_per_rhs:.4f} ms/RHS, "
+            f"device-vs-host rel diff {relf:.2e}")
+        # HEADLINE: amortized KERNEL time via a chained solve.  Round-5
+        # discovery: a single dispatch through the axon tunnel carries a
+        # ~26 ms fixed round-trip (measured on a bare gather — every op,
+        # trivial or not, "costs" 26 ms end-to-end), so single-call timings
+        # measure the dev-setup tunnel, not the chip.  Chaining K solves in
+        # one jitted fori_loop amortizes the fixed cost; the headline is the
+        # K=50 per-solve time (still conservative: includes the residual
+        # 26/50 ms share).
+        import jax.lax as lax
+        from hifir_tpu.alg.prec import prec_solve_mrhs_device
+
+        K = 50
+
+        def chain(levels, tail, B):
+            return lax.fori_loop(
+                0, K, lambda _, X: prec_solve_mrhs_device(levels, tail, X),
+                B)
+
+        fchain = jax.jit(chain)
+        Xc = fchain(dpf.levels, dpf.tail, Bf)
+        float(jnp.sum(Xc))
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            Xc = fchain(dpf.levels, dpf.tail, Bf)
+            float(jnp.sum(Xc))
+            times.append(time.time() - t0)
+        frozen_ms_per_rhs = min(times) / K / NRHS * 1e3
+        frozen_thr = nnz_f / (min(times) / K / NRHS)
+        log(f"FROZEN-operator M-solve KERNEL (chained K={K}, mrhs={NRHS}): "
+            f"{min(times)/K*1e3:.3f} ms/solve, {frozen_ms_per_rhs*1e3:.2f} "
+            f"us/RHS ({frozen_thr/1e9:.2f} Gnnz/s/RHS)")
     else:
         log("frozen fixture missing (benchdata/frozen_prec.npz) — skipping")
 
@@ -196,7 +227,7 @@ def main():
 
     if frozen_thr is not None:
         headline, headline_vs = frozen_thr, frozen_thr / frozen_host_thr
-        metric = "hif_msolve_frozen_throughput_per_chip"
+        metric = "hif_msolve_frozen_kernel_throughput_per_chip"
     else:
         headline, headline_vs = tpu_thr, tpu_thr / host_thr
         metric = "hif_msolve_throughput_per_chip"
@@ -206,8 +237,12 @@ def main():
         "unit": "nnz/s",
         "vs_baseline": round(headline_vs, 3),
         "extras": {
-            "frozen_ms_per_rhs": (None if frozen_ms_per_rhs is None
-                                  else round(frozen_ms_per_rhs, 4)),
+            "frozen_kernel_us_per_rhs": (None if frozen_ms_per_rhs is None
+                                         else round(frozen_ms_per_rhs * 1e3,
+                                                    3)),
+            "frozen_e2e_ms_per_rhs": (
+                None if frozen_ms_per_rhs is None
+                else round(frozen_e2e_ms_per_rhs, 4)),
             "fresh_ms_per_rhs": round(tpu_per_rhs * 1e3, 4),
             "fresh_nnz_per_s": round(tpu_thr, 1),
             "fresh_vs_host": round(tpu_thr / host_thr, 3),
