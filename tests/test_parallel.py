@@ -264,3 +264,30 @@ def test_dist_schur_in_multilevel_factorize(mesh_rows):
     xd = M_dist.solve(b)
     np.testing.assert_allclose(xd, xh, rtol=1e-12,
                                atol=1e-12 * np.abs(xh).max())
+
+
+def test_geneo_coarse_space():
+    """GenEO-lite spectral coarse space (coarse_mode='geneo'): stable and at
+    least as strong as the polynomial default at moderate partition counts
+    (BASELINE.md round-5 sweep: q=3 beats the global preconditioner at 4-8
+    parts; the r4 Chebyshev q>=2 instability does not recur)."""
+    import numpy as np
+
+    from hifir_tpu.api import HIF
+    from hifir_tpu.models import poisson2d
+    from hifir_tpu.options import Options
+    from hifir_tpu.parallel.partition import PartitionedHIF
+    from hifir_tpu.solvers import gmres_hif
+
+    A = poisson2d(96)
+    o = Options(verbose=0, tau_L=1e-2, tau_U=1e-2, alpha_L=3, alpha_U=3,
+                kappa=5, kappa_d=5, dense_thres=500)
+    b = A.matvec(np.ones(A.nrows))
+    iters = {}
+    for mode, q in [("cheb", 1), ("geneo", 3)]:
+        P = PartitionedHIF().factorize(A, 4, o, coarse_mode=mode,
+                                       coarse_dim=q)
+        _, flag, it = gmres_hif(A, P, b, restart=30, rtol=1e-6, maxit=400)
+        assert flag == 0, (mode, q)
+        iters[mode] = it
+    assert iters["geneo"] <= iters["cheb"] + 2, iters
