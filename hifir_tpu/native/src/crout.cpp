@@ -1530,6 +1530,12 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
   utv.resize(n + 1);
   lv.resize(n + 1);
   std::vector<DropEnt<VT>> &keep = ws.keep;
+  // deferred consumed-entry compaction scratch (see scans): raw pointer +
+  // counter, NO vector calls inside the hot loops — a push_back there makes
+  // the compiler reload every other vector's data pointer each iteration
+  // (measured 2x on the scans)
+  std::vector<i64> tomb_store(n);
+  i64 *HT_RESTRICT tomb_buf = tomb_store.data();
   Lids.reserve(rsv); Lvals.reserve(rsv);
   Uids.reserve(rsv); Uvals.reserve(rsv);
   // adjacency stashes: the kappa walk is the COLD traversal of the two
@@ -1664,10 +1670,19 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
       for (i64 e = 0; e < (i64)rj.size(); ++e) {
         const i32 j = rj[e];
         const VT ld = rv[e] * dvec[j];
-        i64 k = Uptr[j], end = Uend[j];
-        while (k < end) {
+        // FIXED-end scan + deferred backward compaction: mutating `end`
+        // inside the loop (the old swap-on-encounter removal) makes the
+        // trip count data-dependent and blocks compiler unrolling of this
+        // hottest loop; consumed entries are now only NOTED during the
+        // countable scan and compacted to the tail afterwards (same
+        // amortized cost — each consumed entry moves once).  Live-region
+        // content order changes relative to the old scheme, which is safe:
+        // per-candidate accumulation order across rows j is fixed by the
+        // outer loop, and the dropping total order is position-free.
+        const i64 kbeg = Uptr[j], kend = Uend[j];
+        i64 ntomb = 0;
+        for (i64 k = kbeg; k < kend; ++k) {
           const i32 c = Uids[k];
-          if (HT_PF && k + HT_PF < end) __builtin_prefetch(&wu[Uids[k + HT_PF]], 1, 1);
           HT_VIS(++n_ut_vis);
           const TP tp = wu[c];  // one 8-byte load covers tag AND pos
           const i32 tg = tp.tag;
@@ -1677,14 +1692,11 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
           // stale older stamp or TOMB) — no wu store, no idk check.
           if (tg == stp) {
             utv[tp.pos] -= ld * Uvals[k];
-            ++k;
             continue;
           }
-          if (tg == TOMB) {  // consumed: swap out of the live region
+          if (tg == TOMB) {  // consumed: compacted after the scan
             HT_VIS(++n_swap);
-            --end;
-            std::swap(Uids[k], Uids[end]);
-            std::swap(Uvals[k], Uvals[end]);
+            tomb_buf[ntomb++] = k;
             continue;
           }
           if (c != idk) {  // new candidate
@@ -1694,9 +1706,18 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             utv[nu] = -ld * Uvals[k];
             ++nu;
           }
-          ++k;
         }
-        Uend[j] = end;
+        if (ntomb) {
+          // descending: every tomb above position p is already in (e, kend)
+          i64 ee = kend;
+          for (i64 t = ntomb - 1; t >= 0; --t) {
+            const i64 pp = tomb_buf[t];
+            --ee;
+            std::swap(Uids[pp], Uids[ee]);
+            std::swap(Uvals[pp], Uvals[ee]);
+          }
+          Uend[j] = ee;
+        }
       }
     }
 
@@ -1739,22 +1760,20 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
         const i32 j = cj[e];
         // LDL^H: U[j, idk] = conj(L[idk, j])
         const VT du = dvec[j] * (herm ? ht_conj(cv[e]) : cv[e]);
-        i64 k = Lptr[j], end = Lend[j];
-        while (k < end) {
+        // fixed-end countable scan + deferred compaction (see the ut scan)
+        const i64 kbeg = Lptr[j], kend = Lend[j];
+        i64 ntomb = 0;
+        for (i64 k = kbeg; k < kend; ++k) {
           const i32 r = Lids[k];
-          if (HT_PF && k + HT_PF < end) __builtin_prefetch(&wl[Lids[k + HT_PF]], 1, 1);
           HT_VIS(++n_l_vis);
           const TP tp = wl[r];  // one 8-byte load covers tag AND pos
           const i32 tg = tp.tag;
           if (tg == stp) {  // seen this step (see the ut-scan note)
             lv[tp.pos] -= du * Lvals[k];
-            ++k;
             continue;
           }
           if (tg == TOMB) {
-            --end;
-            std::swap(Lids[k], Lids[end]);
-            std::swap(Lvals[k], Lvals[end]);
+            tomb_buf[ntomb++] = k;
             continue;
           }
           if (r != idk) {
@@ -1764,9 +1783,17 @@ void *crout_core(i64 n, i64 m2, const i64 *Ap, const i32 *Ai,
             lv[nl] = -du * Lvals[k];
             ++nl;
           }
-          ++k;
         }
-        Lend[j] = end;
+        if (ntomb) {
+          i64 ee = kend;
+          for (i64 t = ntomb - 1; t >= 0; --t) {
+            const i64 pp = tomb_buf[t];
+            --ee;
+            std::swap(Lids[pp], Lids[ee]);
+            std::swap(Lvals[pp], Lvals[ee]);
+          }
+          Lend[j] = ee;
+        }
       }
     }
 
