@@ -22,6 +22,7 @@ DEMOS = [
     ("demo_params.py", "optimized"),
     ("demo_multiply.py", "roundtrip error"),
     ("demo_complex.py", "complex HIF"),
+    ("demo_pseudoinverse_device.py", "rank-revealing"),
     ("demo_hifir.py", ""),
     ("demo_mixedprecision.py", ""),
     ("demo_sparsifier.py", ""),
