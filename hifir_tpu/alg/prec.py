@@ -342,6 +342,14 @@ class DevicePrec:
         def _ldu(T, lower):
             if 0 < T.nrows <= int(dense_inv):
                 return build_trsv_dense(T, lower=lower, dtype=dtype)
+            if int(dense_inv) and T.nrows <= 8 * int(dense_inv):
+                # mid-size levels: blocked explicit inverse — B
+                # (SpMV + MXU matmul) steps instead of hundreds of chunk
+                # latencies (ops/trsv.py:TrsvBlockDense)
+                from ..ops.trsv import build_trsv_block_dense
+
+                return build_trsv_block_dense(T, lower=lower,
+                                              W=int(dense_inv), dtype=dtype)
             return build_trsv_schedule(T, lower=lower, chunk=chunk,
                                        dtype=dtype, k_cap=k_cap)
 
@@ -411,6 +419,11 @@ class DevicePrec:
         def _ldu_t(T, lower):
             if 0 < T.nrows <= int(dense_inv):
                 return build_trsv_dense(T, lower=lower, dtype=dtype)
+            if int(dense_inv) and T.nrows <= 8 * int(dense_inv):
+                from ..ops.trsv import build_trsv_block_dense
+
+                return build_trsv_block_dense(T, lower=lower,
+                                              W=int(dense_inv), dtype=dtype)
             return build_trsv_schedule(T, lower=lower, chunk=chunk,
                                        dtype=dtype, k_cap="auto")
 

@@ -25,13 +25,15 @@ dependencies.  Multiple RHS vectorize with ``jax.vmap``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TrsvSchedule", "TrsvDense", "build_trsv_schedule",
-           "build_trsv_dense", "trsv_apply", "trsv_apply_mrhs"]
+__all__ = ["TrsvSchedule", "TrsvDense", "TrsvBlockDense",
+           "build_trsv_schedule", "build_trsv_dense",
+           "build_trsv_block_dense", "trsv_apply", "trsv_apply_mrhs"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -81,6 +83,100 @@ class TrsvDense:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrsvBlockDense:
+    """Blocked explicit-inverse triangular apply for mid-size factors.
+
+    Rows in natural order are already dependency-safe for a lower factor
+    (upper: reverse block order), so no level schedule is needed: the factor
+    splits into B row blocks of width W; each block's diagonal triangle is
+    inverted densely (MXU matmul apply — safe for HIF factors, see
+    :class:`TrsvDense`) and its off-diagonal part stays sparse (sliced
+    ELL gathered from the already-computed prefix).  The apply is B
+    (SpMV + matmul + dynamic_update_slice) steps — e.g. 7 for a 14k-row
+    factor that the level schedule covered with 234 chunk latencies."""
+
+    invs: Tuple[jax.Array, ...]   # per block (W, W) inverse (padded)
+    offs: tuple                   # per block SlicedELL (W x n_pad)
+    starts: Tuple[int, ...]       # row start of each block, PROCESS order
+    n: int                        # true size
+    W: int                        # block width (last block padded)
+
+    def tree_flatten(self):
+        return ((self.invs, self.offs), (self.starts, self.n, self.W))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+def build_trsv_block_dense(T, lower: bool, W: int = 2048,
+                           dtype=None) -> TrsvBlockDense:
+    """Build the blocked explicit-inverse apply for ``(I + strict(T))``."""
+    import scipy.linalg as sla
+    import scipy.sparse as sp
+
+    from ..ds.csr import CSR
+    from .spmv import sliced_ell_from_csr
+
+    n = T.nrows
+    zdt = np.dtype(T.data.dtype if dtype is None else dtype)
+    S = T.to_scipy().tocsr()
+    S = (sp.tril(S, -1) if lower else sp.triu(S, 1)).tocsr()
+    nblk = max(1, -(-n // W))
+    npad = nblk * W
+    order = range(nblk) if lower else range(nblk - 1, -1, -1)
+    invs, offs, starts = [], [], []
+    eyeW = np.eye(W)
+    for b in order:
+        lo, hi = b * W, min((b + 1) * W, n)
+        w = hi - lo
+        blk = S[lo:hi, lo:hi].toarray()
+        Mb = np.eye(w) + (np.tril(blk, -1) if lower else np.triu(blk, 1))
+        inv = sla.solve_triangular(Mb, np.eye(w, dtype=Mb.dtype),
+                                   lower=lower, unit_diagonal=True)
+        if w < W:  # pad to W with identity (padded x entries stay zero)
+            invp = eyeW.astype(inv.dtype).copy()
+            invp[:w, :w] = inv
+            inv = invp
+        # off-diagonal part: cols outside the block, already computed when
+        # this block runs (prefix for lower, suffix for upper)
+        off = (S[lo:hi, :lo] if lower else S[lo:hi, hi:]).tocsr()
+        # re-home into a (W, npad) operator gathering from the full vector
+        offp = sp.csr_matrix((off.data, off.indices + (0 if lower else hi),
+                              np.concatenate([off.indptr,
+                                              [off.indptr[-1]] * (W - w)])),
+                             shape=(W, npad))
+        offs.append(sliced_ell_from_csr(CSR.from_scipy(offp), dtype=zdt))
+        invs.append(jnp.asarray(inv.astype(zdt)))
+        starts.append(lo)
+    return TrsvBlockDense(tuple(invs), tuple(offs), tuple(starts), n, W)
+
+
+def _block_dense_apply(bd: TrsvBlockDense, b: jax.Array) -> jax.Array:
+    from .spmv import ell_matvec, ell_matvec_mrhs
+
+    mrhs = b.ndim == 2
+    pad = bd.W * len(bd.starts) - bd.n
+    if pad:
+        zshape = (pad, b.shape[1]) if mrhs else (pad,)
+        x = jnp.concatenate([b, jnp.zeros(zshape, dtype=b.dtype)])
+    else:
+        x = b
+    mv = ell_matvec_mrhs if mrhs else ell_matvec
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    for inv, off, lo in zip(bd.invs, bd.offs, bd.starts):
+        if mrhs:
+            seg = jax.lax.dynamic_slice(x, (lo, 0), (bd.W, x.shape[1]))
+        else:
+            seg = jax.lax.dynamic_slice(x, (lo,), (bd.W,))
+        seg = seg - mv(off, x)
+        seg = mm(inv, seg)
+        x = jax.lax.dynamic_update_slice(x, seg, (lo, 0) if mrhs else (lo,))
+    return x[:bd.n]
 
 
 def build_trsv_dense(T, lower: bool, dtype=None) -> TrsvDense:
@@ -418,6 +514,8 @@ def trsv_apply(sched, b: jax.Array) -> jax.Array:
     if isinstance(sched, TrsvDense):
         return jnp.matmul(sched.inv, b,
                           precision=jax.lax.Precision.HIGHEST)
+    if isinstance(sched, TrsvBlockDense):
+        return _block_dense_apply(sched, b)
     if sched.nchunks == 0:
         return b
     C = sched.chunk
@@ -444,6 +542,8 @@ def trsv_apply_mrhs(sched, B: jax.Array) -> jax.Array:
     if isinstance(sched, TrsvDense):
         return jnp.matmul(sched.inv, B,
                           precision=jax.lax.Precision.HIGHEST)
+    if isinstance(sched, TrsvBlockDense):
+        return _block_dense_apply(sched, B)
     if sched.nchunks == 0:
         return B
     C = sched.chunk
