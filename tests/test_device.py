@@ -471,3 +471,26 @@ def test_device_fgmres_rank_control():
     assert flag == 0
     res = np.linalg.norm(np.asarray(b) - A.matvec(np.asarray(x)))
     assert res / np.linalg.norm(np.asarray(b)) <= 1e-8
+
+
+@pytest.mark.parametrize("lower", [True, False])
+def test_trsv_block_dense_vs_host(lower):
+    """Blocked explicit-inverse apply (ops/trsv.py:TrsvBlockDense): oracle
+    equality with the host strict-triangular solve, single and mrhs,
+    including a non-multiple-of-W size (identity-padded last block)."""
+    from hifir_tpu.ops.trsv import build_trsv_block_dense
+
+    for n in (500, 1100):
+        T = random_strict_triangular(n, lower=lower, seed=3)
+        bd = build_trsv_block_dense(T, lower=lower, W=256)
+        b = np.random.default_rng(0).standard_normal(n)
+        x = np.asarray(trsv_apply(bd, jnp.asarray(b)))
+        xr = (T.solve_as_strict_lower(b) if lower
+              else T.solve_as_strict_upper(b))
+        np.testing.assert_allclose(x, xr, rtol=1e-12, atol=1e-12)
+        B = np.random.default_rng(1).standard_normal((n, 4))
+        X = np.asarray(trsv_apply_mrhs(bd, jnp.asarray(B)))
+        XR = np.stack([T.solve_as_strict_lower(B[:, j]) if lower
+                       else T.solve_as_strict_upper(B[:, j])
+                       for j in range(4)], axis=1)
+        np.testing.assert_allclose(X, XR, rtol=1e-12, atol=1e-12)
