@@ -539,11 +539,15 @@ class DevicePrec:
         if r and r > 0:
             if not hasattr(self, "_solve_mrhs_rank_jit"):
                 self._solve_mrhs_rank_jit = jax.jit(_solve_mrhs_rank_pure)
-            return self._solve_mrhs_rank_jit(self.levels, self.tail,
-                                             jnp.asarray(B), jnp.int32(r))
-        if not hasattr(self, "_solve_mrhs_jit"):
-            self._solve_mrhs_jit = jax.jit(prec_solve_mrhs_device)
-        return self._solve_mrhs_jit(self.levels, self.tail, jnp.asarray(B))
+            X = self._solve_mrhs_rank_jit(self.levels, self.tail,
+                                          jnp.asarray(B), jnp.int32(r))
+        else:
+            if not hasattr(self, "_solve_mrhs_jit"):
+                self._solve_mrhs_jit = jax.jit(prec_solve_mrhs_device)
+            X = self._solve_mrhs_jit(self.levels, self.tail, jnp.asarray(B))
+        # unlike the host path (whose numpy NspFilter is single-vector and
+        # errors), the device constant-mode filter is batch-capable
+        return nsp_filter_device(getattr(self, "nsp", None), X)
 
     def operands(self):
         """The (levels, tail) pytree for composition into outer jitted
