@@ -496,10 +496,14 @@ def build_trsv_schedule(T, lower: bool, chunk: int = 256, dtype=None,
 
 
 def _scan_unroll(sched: TrsvSchedule) -> int:
-    """Scan unroll factor: each chunk step pays a ~60us loop-iteration
-    latency on the TPU; unrolling fuses several chunks into one iteration
-    (dependencies stay correct — unroll preserves sequential body order).
-    Experiment knob HT_TRSV_UNROLL overrides."""
+    """Scan unroll factor (experiment knob HT_TRSV_UNROLL; default 1).
+
+    Measured NULL RESULT on the real chip (frozen bench operator, unroll
+    1/4/8/16 all ~28 ms): the per-chunk cost is the serialized
+    gather->update dependency chain, not loop dispatch, so unrolling the
+    scan body does not help.  The effective levers are fewer chunks
+    (TrsvDense / TrsvBlockDense for small and mid-size factors) and mrhs
+    batching.  The knob is kept for A/B on other hardware."""
     import os
 
     env = os.environ.get("HT_TRSV_UNROLL")
